@@ -1,0 +1,132 @@
+"""Pairwise similarity features (SURVEY.md §2.8 target additions).
+
+Levenshtein stays JVM-side (built-in ``F.levenshtein`` — codegen'd).
+Jaro-Winkler, token-Jaccard, and hashed-TF cosine run as Arrow-batched
+pandas UDFs over (text1, text2) pairs — the reference's analog is the
+in-block MD5 computation (Dedupe.java:104-113): the expensive feature
+evaluated only on block-surviving candidates.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def jaro_winkler(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
+    """Standard Jaro-Winkler similarity (Winkler '90).
+
+    Matches DuckDB's ``jaro_winkler_similarity`` (verified in tests) so
+    the oracle can cross-check feature values exactly.
+    """
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    window = max(l1, l2) // 2 - 1
+    if window < 0:
+        window = 0
+    flags2 = [False] * l2
+    matches1 = []
+    for i, c in enumerate(s1):
+        lo, hi = max(0, i - window), min(l2, i + window + 1)
+        for j in range(lo, hi):
+            if not flags2[j] and s2[j] == c:
+                flags2[j] = True
+                matches1.append((i, j))
+                break
+    m = len(matches1)
+    if m == 0:
+        return 0.0
+    # transpositions: matched chars of s2 in order of their s1 match
+    s2_matched = [s2[j] for _, j in sorted(matches1, key=lambda t: t[0])]
+    s2_in_order = [s2[j] for j in sorted(j for _, j in matches1)]
+    t = sum(a != b for a, b in zip(s2_matched, s2_in_order)) / 2
+    jaro = (m / l1 + m / l2 + (m - t) / m) / 3
+    prefix = 0
+    for a, b in zip(s1[:4], s2[:4]):
+        if a != b:
+            break
+        prefix += 1
+    return jaro + prefix * prefix_weight * (1 - jaro)
+
+
+@F.pandas_udf(T.DoubleType())
+def jaro_winkler_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    return pd.Series(
+        [jaro_winkler(a or "", b or "") for a, b in zip(s1, s2)], dtype="float64"
+    )
+
+
+def token_jaccard(t1: str, t2: str, width: int = 3) -> float:
+    """Jaccard over distinct word w-shingles."""
+
+    def sh(t: str) -> set:
+        toks = t.split()
+        if len(toks) < width:
+            return {" ".join(toks)} if toks else set()
+        return {" ".join(toks[i : i + width]) for i in range(len(toks) - width + 1)}
+
+    a, b = sh(t1), sh(t2)
+    if not a and not b:
+        return 1.0
+    u = len(a | b)
+    return len(a & b) / u if u else 0.0
+
+
+@F.pandas_udf(T.DoubleType())
+def token_jaccard_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    return pd.Series(
+        [token_jaccard(a or "", b or "") for a, b in zip(s1, s2)], dtype="float64"
+    )
+
+
+TF_DIM = 1 << 16
+
+
+def _tf_vector(text: str) -> dict[int, float]:
+    """Hashed log-scaled term-frequency vector (HashingTF-style)."""
+    counts: dict[int, int] = {}
+    for tok in text.split():
+        h = zlib.crc32(tok.encode("utf-8")) % TF_DIM
+        counts[h] = counts.get(h, 0) + 1
+    return {k: 1.0 + np.log(v) for k, v in counts.items()}
+
+
+def tfidf_cosine(t1: str, t2: str) -> float:
+    """Cosine over hashed log-TF vectors (pair-local; IDF-free by design:
+    at 10^12 docs a global IDF table is a separate broadcast join — the
+    comparator works on log-TF and the logistic weights absorb scale)."""
+    v1, v2 = _tf_vector(t1), _tf_vector(t2)
+    if not v1 or not v2:
+        return 1.0 if (not v1 and not v2) else 0.0
+    dot = sum(w * v2[k] for k, w in v1.items() if k in v2)
+    n1 = np.sqrt(sum(w * w for w in v1.values()))
+    n2 = np.sqrt(sum(w * w for w in v2.values()))
+    return float(dot / (n1 * n2)) if n1 and n2 else 0.0
+
+
+@F.pandas_udf(T.DoubleType())
+def tfidf_cosine_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    return pd.Series(
+        [tfidf_cosine(a or "", b or "") for a, b in zip(s1, s2)], dtype="float64"
+    )
+
+
+def cosine_expr(v1, v2):
+    """JVM-side cosine between two array<float/double> columns — built-in
+    higher-order functions only (zip_with + aggregate), no Python hop.
+    Used for embedding similarity search."""
+    dot = F.aggregate(
+        F.zip_with(v1, v2, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n1 = F.sqrt(F.aggregate(v1, F.lit(0.0), lambda acc, x: acc + x * x))
+    n2 = F.sqrt(F.aggregate(v2, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (n1 * n2)

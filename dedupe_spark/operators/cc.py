@@ -1,0 +1,107 @@
+"""Transitive closure: iterative large-star / small-star connected
+components over a DataFrame edge list (north_star S7).
+
+Similarity (unlike the reference's md5 equality, DedupeJar.java:54-58)
+is not transitive, so match edges must be closed transitively. The
+reference's one-hop analog is tag propagation across equality clusters
+(DedupeJar.java:321-383); the general algorithm is the
+large-star/small-star method of Kiveris et al., "Connected Components
+in MapReduce and Beyond" (SoCC '14) — O(log n) rounds, each round two
+shuffles, no GraphFrames/GraphX dependency:
+
+  large-star(u): m = min(N(u) ∪ {u}); link every neighbor v > u to m.
+  small-star(u) on edges oriented high→low: m = min(N(u) ∪ {u});
+                 link every v ∈ N(u) ∪ {u}, v ≠ m, to m.
+
+Both steps are groupBy-free here: the per-node minimum is a window
+min over partitionBy(src) — one shuffle each, combined map-side.
+Lineage is truncated every iteration with localCheckpoint (iterative
+self-referential plans otherwise grow exponentially — SURVEY.md §7.4),
+and convergence is detected by (count, order-insensitive hash) of the
+edge set, avoiding a full except() comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: (least, greatest), no self-loops."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    sym = edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    w = Window.partitionBy("src")
+    m = F.least(F.col("src"), F.min("dst").over(w))
+    return (
+        sym.withColumn("m", m)
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).distinct()
+    w = Window.partitionBy("src")
+    withm = oriented.withColumn("m", F.min("dst").over(w))
+    to_low = withm.select(F.col("dst").alias("src"), F.col("m").alias("dst")).where(
+        F.col("src") != F.col("dst")
+    )
+    to_high = withm.select("src", F.col("m").alias("dst")).distinct()
+    return to_low.unionByName(to_high).distinct()
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    # decimal(38,0) sum: immune to ANSI long-overflow at any edge count
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """edges(src, dst) → assignments(node, cluster_id).
+
+    cluster_id = min node id of the component (deterministic under any
+    partitioning). Nodes appearing only as isolated vertices must be
+    unioned in by the caller (a node with no edges is its own cluster).
+    """
+    cur = _canon(edges).localCheckpoint(eager=True)
+    fp = _fingerprint(cur)
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        nfp = _fingerprint(nxt)
+        cur = nxt
+        if nfp == fp:
+            break
+        fp = nfp
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    # Converged: every edge is (node, component_min).
+    members = cur.select(F.col("src").alias("node"), F.col("dst").alias("cluster_id"))
+    roots = cur.select(F.col("dst").alias("node"), F.col("dst").alias("cluster_id")).distinct()
+    return members.unionByName(roots).distinct()
+
+
+def assign_all(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """All nodes(node) → (node, cluster_id); isolated nodes map to self."""
+    assigned = connected_components(edges)
+    return (
+        nodes.join(assigned, "node", "left")
+        .select("node", F.coalesce("cluster_id", F.col("node")).alias("cluster_id"))
+    )

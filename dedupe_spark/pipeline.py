@@ -1,0 +1,169 @@
+"""End-to-end entity-resolution pipeline (SURVEY.md §7.1), resumable.
+
+Stage graph (each stage a pure DataFrame transform, checkpointed via
+StageIO so a killed job resumes from the last completed stage without
+recomputing scored pairs — north_rule):
+
+  pages ─ S1 extract ─ docs
+        ─ S2 exact:   md5 groupBy → exact clusters, one representative
+                      per distinct content (NO pairwise work for exact
+                      duplicates — the hot boilerplate block collapses
+                      to a single representative here, which is the
+                      single most important scale decision in the whole
+                      pipeline: a 10^6-copy boilerplate page costs one
+                      groupBy, not 10^12 pairs)
+        ─ S3 keys:    MinHash-LSH + SimHash band keys on representatives
+        ─ S4 pairs:   salted/skew-split canonical self-join
+        ─ S5 feats:   JW / Levenshtein / Jaccard / TF-cosine
+        ─ S6 scores:  logistic comparator → match edges
+        ─ S7 cluster: large-star/small-star CC over
+                      (match edges ∪ doc→representative star edges)
+        ─ S8 report:  cluster rollups
+
+Reference lineage: EP1 refresh() (Dedupe.java:81-200) restated as one
+declarative DAG — the Solr facet is S2/S3's groupBy, the per-block
+query loop is S4's join, the md5-on-demand is S5, tag propagation
+(DedupeJar.java:321-383) generalizes to S7.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dedupe_spark.functions.text import content_hash
+from dedupe_spark.operators import scoring
+from dedupe_spark.operators.blocking import block_keys
+from dedupe_spark.operators.cc import assign_all
+from dedupe_spark.operators.extract import extract_docs
+from dedupe_spark.operators.pairs import attach_texts, generate_pairs
+from dedupe_spark.sources.checkpoints import StageIO
+
+
+@dataclass
+class PipelineConfig:
+    n_bands: int = 32
+    rows_per_band: int = 4
+    hot_threshold: int = 1000
+    salt_buckets: int = 16
+    max_block_size: int | None = 100_000
+    threshold: float = scoring.DEFAULT_THRESHOLD
+    weights: dict = field(default_factory=lambda: dict(scoring.DEFAULT_WEIGHTS))
+    bias: float = scoring.DEFAULT_BIAS
+    use_simhash: bool = True
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    work_dir: str,
+    config: PipelineConfig | None = None,
+    stop_after: str | None = None,
+) -> dict[str, DataFrame]:
+    """Run (or resume) the pipeline; returns the stage DataFrames.
+
+    ``stop_after`` lets tests simulate a kill after stage k.
+    """
+    cfg = config or PipelineConfig()
+    io = StageIO(spark, work_dir)
+    out: dict[str, DataFrame] = {}
+    skipped: dict[str, bool] = {}
+
+    def stage(name: str, build, lineage: str) -> DataFrame:
+        df, was_skipped = io.run_stage(name, build, lineage=lineage)
+        out[name] = df
+        skipped[name] = was_skipped
+        return df
+
+    docs = stage("s1_docs", lambda: extract_docs(pages), "pages")
+    if stop_after == "s1_docs":
+        out["_skipped"] = skipped  # type: ignore[assignment]
+        return out
+
+    # S2: exact-duplicate collapse. rep_id = min doc_id per content hash.
+    def build_exact() -> DataFrame:
+        hashed = docs.withColumn("content_md5", content_hash(F.col("text")))
+        w_min = hashed.groupBy("content_md5").agg(F.min("doc_id").alias("rep_id"))
+        return hashed.join(w_min, "content_md5").select(
+            "doc_id", "url", "lang", "text", "n_chars", "content_md5", "rep_id"
+        )
+
+    exact = stage("s2_exact", build_exact, "s1_docs")
+    if stop_after == "s2_exact":
+        out["_skipped"] = skipped  # type: ignore[assignment]
+        return out
+
+    reps = exact.where(F.col("doc_id") == F.col("rep_id")).select("doc_id", "text")
+
+    keys = stage(
+        "s3_keys",
+        lambda: block_keys(
+            reps,
+            use_minhash=True,
+            use_simhash=cfg.use_simhash,
+            n_bands=cfg.n_bands,
+            rows_per_band=cfg.rows_per_band,
+        ),
+        "s2_exact",
+    )
+    if stop_after == "s3_keys":
+        out["_skipped"] = skipped  # type: ignore[assignment]
+        return out
+
+    def build_pairs() -> DataFrame:
+        p, capped = generate_pairs(
+            keys,
+            hot_threshold=cfg.hot_threshold,
+            salt_buckets=cfg.salt_buckets,
+            max_block_size=cfg.max_block_size,
+        )
+        n_capped = capped.count()
+        if n_capped:
+            # never silent (SURVEY.md §7.4) — surfaced in logs + metrics
+            print(f"[pairs] WARNING: {n_capped} blocks exceeded max_block_size and were capped")
+        return p
+
+    pairs = stage("s4_pairs", build_pairs, "s3_keys")
+    if stop_after == "s4_pairs":
+        out["_skipped"] = skipped  # type: ignore[assignment]
+        return out
+
+    feats = stage(
+        "s5_features",
+        lambda: scoring.pair_features(attach_texts(pairs, reps)),
+        "s4_pairs",
+    )
+    scores = stage(
+        "s6_scores",
+        lambda: scoring.score_pairs(feats, cfg.weights, cfg.bias),
+        "s5_features",
+    )
+    if stop_after == "s6_scores":
+        out["_skipped"] = skipped  # type: ignore[assignment]
+        return out
+
+    def build_clusters() -> DataFrame:
+        match_edges = scoring.matches(scores, cfg.threshold).select(
+            F.col("id1").alias("src"), F.col("id2").alias("dst")
+        )
+        star_edges = exact.where(F.col("doc_id") != F.col("rep_id")).select(
+            F.col("doc_id").alias("src"), F.col("rep_id").alias("dst")
+        )
+        nodes = exact.select(F.col("doc_id").alias("node"))
+        return assign_all(nodes, match_edges.unionByName(star_edges)).select(
+            F.col("node").alias("doc_id"), "cluster_id"
+        )
+
+    clusters = stage("s7_clusters", build_clusters, "s6_scores")
+
+    stage(
+        "s8_report",
+        lambda: clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("members"))
+        .where(F.col("members") >= 2),
+        "s7_clusters",
+    )
+    out["_skipped"] = skipped  # type: ignore[assignment]
+    return out

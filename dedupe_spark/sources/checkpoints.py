@@ -1,0 +1,137 @@
+"""Checkpointed stage IO: resumable pipelines with per-partition lineage.
+
+Reference analog: the Solr index doubling as a persistent task queue —
+"consider the process can stop anytime" (Dedupe.java:56-66); queued
+directories are Solr docs deleted once expanded (Dedupe.java:117-133);
+DedupeRAM checkpoints its in-flight queues every 60 s
+(DedupeRAM.java:33-35,164-235).
+
+Spark restatement (SURVEY.md §2.9 I1-I2): each pipeline stage writes an
+immutable parquet directory plus rows in a ``checkpoints`` table
+(stage, partition_id, rows_out, t_start, t_end, status, lineage).
+A rerun consults the checkpoint table and skips completed stages —
+no recomputation of scored pairs after a kill.
+
+In production the stage tables are Iceberg (atomic commit, MERGE INTO);
+the sandbox substitutes parquet directories with an atomic
+rename-free protocol: data dir + a ``_checkpoint.json`` marker written
+last. The interface is identical, so swapping in an Iceberg catalog is
+a config change, not a code change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CHECKPOINT_SCHEMA = (
+    "stage string, partition_id int, rows_out long, "
+    "t_start double, t_end double, status string, lineage string"
+)
+
+
+class StageIO:
+    """Stage-table IO with completion markers and lineage counters."""
+
+    def __init__(self, spark: SparkSession, base_dir: str):
+        self.spark = spark
+        self.base_dir = base_dir
+        os.makedirs(base_dir, exist_ok=True)
+
+    # -- paths -----------------------------------------------------------
+    def stage_dir(self, stage: str) -> str:
+        return os.path.join(self.base_dir, stage)
+
+    def _marker(self, stage: str) -> str:
+        return os.path.join(self.base_dir, f"_checkpoint_{stage}.json")
+
+    def checkpoints_dir(self) -> str:
+        return os.path.join(self.base_dir, "checkpoints")
+
+    # -- status ----------------------------------------------------------
+    def is_complete(self, stage: str) -> bool:
+        return os.path.exists(self._marker(stage))
+
+    def read(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(self.stage_dir(stage))
+
+    # -- write with lineage ------------------------------------------------
+    def write(self, df: DataFrame, stage: str, lineage: str = "") -> DataFrame:
+        """Materialize a stage: parquet data + per-partition counter rows.
+
+        Counters are computed from the written files (ground truth, not
+        the plan) so a resumed run can audit exactly what each partition
+        produced.
+        """
+        t_start = time.time()
+        out = self.stage_dir(stage)
+        df.write.mode("overwrite").parquet(out)
+        written = self.spark.read.parquet(out)
+        per_part = (
+            written.withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id")
+            .agg(F.count(F.lit(1)).alias("rows_out"))
+        )
+        t_end = time.time()
+        rows = [
+            {
+                "stage": stage,
+                "partition_id": int(r["partition_id"]),
+                "rows_out": int(r["rows_out"]),
+                "t_start": t_start,
+                "t_end": t_end,
+                "status": "complete",
+                "lineage": lineage,
+            }
+            for r in per_part.collect()
+        ] or [
+            {
+                "stage": stage,
+                "partition_id": -1,
+                "rows_out": 0,
+                "t_start": t_start,
+                "t_end": t_end,
+                "status": "complete",
+                "lineage": lineage,
+            }
+        ]
+        ckpt = self.spark.createDataFrame(rows, schema=CHECKPOINT_SCHEMA)
+        ckpt.write.mode("append").parquet(self.checkpoints_dir())
+        with open(self._marker(stage), "w") as f:
+            json.dump(
+                {
+                    "stage": stage,
+                    "rows_out": sum(r["rows_out"] for r in rows),
+                    "n_partitions": len(rows),
+                    "t_start": t_start,
+                    "t_end": t_end,
+                    "lineage": lineage,
+                },
+                f,
+            )
+        return written
+
+    def run_stage(
+        self,
+        stage: str,
+        build: Callable[[], DataFrame],
+        lineage: str = "",
+        force: bool = False,
+    ) -> tuple[DataFrame, bool]:
+        """Run (or skip) one stage; returns (df, was_skipped)."""
+        if not force and self.is_complete(stage):
+            return self.read(stage), True
+        return self.write(build(), stage, lineage=lineage), False
+
+    def checkpoints(self) -> DataFrame:
+        return self.spark.read.parquet(self.checkpoints_dir())
+
+    def reset(self, stage: str) -> None:
+        marker = self._marker(stage)
+        if os.path.exists(marker):
+            os.remove(marker)
