@@ -38,8 +38,10 @@ _B = _rng.randint(0, _MERSENNE_P, size=MINHASH_K, dtype=np.int64).astype(np.uint
 def _shingle_hashes(text: str, width: int = 3) -> np.ndarray:
     """crc32 hashes of word w-shingles (distinct), as uint64."""
     toks = text.split()
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
     if len(toks) < width:
-        shingles = [" ".join(toks)] if toks else [""]
+        shingles = [" ".join(toks)]
     else:
         shingles = [" ".join(toks[i : i + width]) for i in range(len(toks) - width + 1)]
     return np.unique(

@@ -23,11 +23,11 @@ def jaro_winkler(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
     Matches DuckDB's ``jaro_winkler_similarity`` (verified in tests) so
     the oracle can cross-check feature values exactly.
     """
-    if s1 == s2:
-        return 1.0
     l1, l2 = len(s1), len(s2)
     if l1 == 0 or l2 == 0:
-        return 0.0
+        return 0.0  # DuckDB convention: empty vs anything (incl. empty) = 0
+    if s1 == s2:
+        return 1.0
     window = max(l1, l2) // 2 - 1
     if window < 0:
         window = 0
@@ -46,8 +46,11 @@ def jaro_winkler(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
     # transpositions: matched chars of s2 in order of their s1 match
     s2_matched = [s2[j] for _, j in sorted(matches1, key=lambda t: t[0])]
     s2_in_order = [s2[j] for j in sorted(j for _, j in matches1)]
-    t = sum(a != b for a, b in zip(s2_matched, s2_in_order)) / 2
+    # RapidFuzz/DuckDB convention: t = floor(differing positions / 2)
+    t = sum(a != b for a, b in zip(s2_matched, s2_in_order)) // 2
     jaro = (m / l1 + m / l2 + (m - t) / m) / 3
+    if jaro <= 0.7:  # Winkler boost threshold (DuckDB-compatible)
+        return jaro
     prefix = 0
     for a, b in zip(s1[:4], s2[:4]):
         if a != b:

@@ -74,11 +74,19 @@ def generate_pairs(
     )
 
     # --- hot path: upper-triangular grid decomposition ----------------
+    # A doc with salt bucket b goes LEFT into grid row cells (b, j>=b)
+    # and RIGHT into column cells (i<=b, b). An unordered pair with
+    # buckets (bx <= by) meets exactly once in cell (bx, by); on the
+    # diagonal (bx == by) it meets in both orders plus self-pairs, so the
+    # id_l < id_r filter applies ONLY there — off-diagonal the pair's
+    # orientation follows bucket order, not id order, and must be
+    # re-canonicalized with least/greatest instead of filtered.
     s = salt_buckets
     hot_b = hot.withColumn("bkt", F.pmod(F.xxhash64("doc_id"), F.lit(s)).cast("int"))
     left = hot_b.select(
         "block_key",
         F.col("doc_id").alias("id_l"),
+        F.col("bkt").alias("bkt_l"),
         F.explode(
             F.transform(F.sequence(F.col("bkt"), F.lit(s - 1)), lambda j: F.concat_ws("_", F.col("bkt"), j))
         ).alias("cell"),
@@ -86,14 +94,18 @@ def generate_pairs(
     right = hot_b.select(
         "block_key",
         F.col("doc_id").alias("id_r"),
+        F.col("bkt").alias("bkt_r"),
         F.explode(
             F.transform(F.sequence(F.lit(0), F.col("bkt")), lambda i: F.concat_ws("_", i, F.col("bkt")))
         ).alias("cell"),
     )
     hot_pairs = (
         left.join(right, ["block_key", "cell"])
-        .where(F.col("id_l") < F.col("id_r"))
-        .select(F.col("id_l").alias("id1"), F.col("id_r").alias("id2"))
+        .where((F.col("bkt_l") != F.col("bkt_r")) | (F.col("id_l") < F.col("id_r")))
+        .select(
+            F.least("id_l", "id_r").alias("id1"),
+            F.greatest("id_l", "id_r").alias("id2"),
+        )
     )
 
     pairs = cold_pairs.unionByName(hot_pairs).distinct()

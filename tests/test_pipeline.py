@@ -1,0 +1,96 @@
+"""End-to-end pipeline: F1 ≥ 0.99 on labeled same-block pairs
+(BASELINE.json metric), cluster recovery, and checkpoint resume
+(SURVEY.md §5.2.4-5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_spark import evaluate
+from dedupe_spark.pipeline import PipelineConfig, run_pipeline
+
+
+@pytest.fixture(scope="module")
+def pipe(spark, corpus, tmp_path_factory):
+    work = str(tmp_path_factory.mktemp("pipe"))
+    out = run_pipeline(spark, corpus, work)
+    return work, out
+
+
+def test_pipeline_f1(spark, corpus, pipe):
+    _, out = pipe
+    truth = (
+        corpus.select(F.xxhash64("url").alias("doc_id"), "truth_key")
+    )
+    doc_keys = evaluate.doc_level_keys(out["s2_exact"], out["s3_keys"])
+    labeled = evaluate.labeled_same_block_pairs(doc_keys, truth)
+    metrics = evaluate.pairwise_f1(labeled, out["s7_clusters"])
+    assert metrics["n_labeled_pairs"] > 100
+    assert metrics["f1"] >= 0.99, metrics
+
+
+def test_exact_dup_clusters_recovered(spark, corpus, pipe):
+    """Every planted exact-dup cluster must land in one final cluster."""
+    _, out = pipe
+    truth = corpus.select(F.xxhash64("url").alias("doc_id"), "truth_key")
+    joined = out["s7_clusters"].join(truth, "doc_id")
+    spread = (
+        joined.where(F.col("truth_key").startswith("exact:") | (F.col("truth_key") == "hot"))
+        .groupBy("truth_key")
+        .agg(F.countDistinct("cluster_id").alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+    )
+    assert spread == 0
+
+
+def test_hot_block_collapsed_before_pairs(spark, corpus, pipe):
+    """The 30-member boilerplate cluster must cost zero pairwise work:
+    exact dups collapse to one representative in S2."""
+    _, out = pipe
+    truth = corpus.select(F.xxhash64("url").alias("doc_id"), "truth_key")
+    hot_reps = (
+        out["s2_exact"].join(truth, "doc_id")
+        .where(F.col("truth_key") == "hot")
+        .select("rep_id")
+        .distinct()
+        .count()
+    )
+    assert hot_reps == 1
+
+
+def test_all_docs_assigned(spark, corpus, pipe):
+    _, out = pipe
+    assert out["s7_clusters"].count() == corpus.count()
+    assert out["s7_clusters"].select("doc_id").distinct().count() == corpus.count()
+
+
+def test_resume_skips_completed_stages(spark, corpus, tmp_path):
+    work = str(tmp_path / "resume")
+    # run only through s4 (simulated kill)
+    first = run_pipeline(spark, corpus, work, stop_after="s4_pairs")
+    assert not first["_skipped"]["s1_docs"]
+    # resume: s1-s4 must be skipped, rest computed
+    second = run_pipeline(spark, corpus, work)
+    skipped = second["_skipped"]
+    assert all(skipped[s] for s in ["s1_docs", "s2_exact", "s3_keys", "s4_pairs"])
+    assert not skipped["s7_clusters"]
+    # identical final output vs a fresh uninterrupted run
+    fresh = run_pipeline(spark, corpus, str(tmp_path / "fresh"))
+    a = {(r["doc_id"], r["cluster_id"]) for r in second["s7_clusters"].collect()}
+    b = {(r["doc_id"], r["cluster_id"]) for r in fresh["s7_clusters"].collect()}
+    assert a == b
+
+
+def test_lineage_counters_written(spark, corpus, pipe):
+    work, out = pipe
+    ckpt = spark.read.parquet(f"{work}/checkpoints")
+    stages = {r["stage"] for r in ckpt.select("stage").distinct().collect()}
+    assert {"s1_docs", "s4_pairs", "s7_clusters"} <= stages
+    assert ckpt.where(F.col("status") != "complete").count() == 0
+    # per-partition rows_out sums to the stage row count
+    s1_total = (
+        ckpt.where(F.col("stage") == "s1_docs").agg(F.sum("rows_out")).collect()[0][0]
+    )
+    assert s1_total == out["s1_docs"].count()
