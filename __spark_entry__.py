@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship ER query on /root/testdata/sf0.001.
+queries()      — every implemented operator from SURVEY.md §2 plus the
+                 training-data ops (dedupe, ANN, text analysis).
+oracle_sql()   — DuckDB-equivalent ANSI SQL per query (same column
+                 names; sketch/pipeline ops are rows-only checked).
+Implementations live in dedupe_spark/queries.py.
 """
 
 from __future__ import annotations
@@ -13,26 +14,21 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from dedupe_spark.queries import ORACLES, QUERIES
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full ER chain (exact collapse → MinHash-LSH/SimHash
+    blocking → skew-split pairs → features → logistic scoring →
+    large-star/small-star CC) over the sf0.001 documents table."""
+    from dedupe_spark.queries import q_er_pipeline_clusters
+
+    return q_er_pipeline_clusters(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

@@ -1,0 +1,646 @@
+"""Driver-contract query catalog: every implemented operator from
+SURVEY.md §2 as a (spark, sf_dir) -> DataFrame callable plus, where
+ANSI-SQL-expressible, a DuckDB oracle query (same column names — the
+driver hash-compares column-sorted values).
+
+Mapping of reference semantics onto the driver testdata (FIXTURES.md §5):
+``n_chars`` ↔ ``length_l`` (blocking key), ``md5(text)`` ↔ ``md5_s``,
+``source`` ↔ ``jar_s``, ``lang`` ↔ facet field.
+
+Float outputs are rounded (scale 6; scale 2 for currency sums) on BOTH
+sides so cross-engine double-summation-order noise can't flip the hash.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dedupe_spark.functions import text as TX
+from dedupe_spark.functions.similarity import cosine_expr, token_jaccard_udf
+from dedupe_spark.functions.text import content_hash, fingerprint, lang_id, quality_score
+from dedupe_spark.operators import scoring
+from dedupe_spark.operators.blocking import block_keys, surviving_blocks
+from dedupe_spark.operators.cc import assign_all
+from dedupe_spark.operators.pairs import attach_texts, generate_pairs
+from dedupe_spark.sources.testdata import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# DuckDB token expression shared by the text-analysis oracles; matches
+# dedupe_spark.functions.text.tokens (whitespace split, drop empties).
+_DUCK_TOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations / blocking facets
+# ---------------------------------------------------------------------------
+
+def q_block_discovery(spark: SparkSession, sf: str) -> DataFrame:
+    """A1 (Dedupe.java:67-72): GROUP BY length HAVING count >= 2."""
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.groupBy("n_chars")
+        .agg(F.count(F.lit(1)).alias("copies"))
+        .where(F.col("copies") >= 2)
+    )
+
+
+SQL_BLOCK_DISCOVERY = """
+SELECT n_chars, count(*) AS copies
+FROM documents GROUP BY n_chars HAVING count(*) >= 2
+"""
+
+
+def q_block_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """O1 (Duplication.java:27-30): blocks by payoff = length*copies desc."""
+    return (
+        q_block_discovery(spark, sf)
+        .withColumn("payoff", F.col("n_chars") * F.col("copies"))
+        .orderBy(F.desc("payoff"), F.desc("n_chars"))
+        .limit(20)
+    )
+
+
+SQL_BLOCK_PRIORITY = """
+SELECT n_chars, count(*) AS copies, n_chars * count(*) AS payoff
+FROM documents GROUP BY n_chars HAVING count(*) >= 2
+ORDER BY payoff DESC, n_chars DESC LIMIT 20
+"""
+
+
+def q_facet_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """A2 analog (DedupeJar.java:385-411): facet rollup."""
+    return (
+        load_table(spark, sf, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+SQL_FACET_LANG = "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
+
+
+def q_facet_source_en(spark: SparkSession, sf: str) -> DataFrame:
+    """A4 analog (DedupeJar.java:107-113): facet under a filter."""
+    return (
+        load_table(spark, sf, "documents")
+        .where(F.col("lang") == "en")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+SQL_FACET_SOURCE_EN = (
+    "SELECT source, count(*) AS n_docs FROM documents WHERE lang = 'en' GROUP BY source"
+)
+
+
+def q_distinct_sources_large(spark: SparkSession, sf: str) -> DataFrame:
+    """A5 analog (DedupeJar.java:82-97): distinct ids under predicate."""
+    return (
+        load_table(spark, sf, "documents")
+        .where(F.col("n_chars") > 300)
+        .select("source")
+        .distinct()
+    )
+
+
+SQL_DISTINCT_SOURCES_LARGE = (
+    "SELECT DISTINCT source FROM documents WHERE n_chars > 300"
+)
+
+
+def q_distinct_content(spark: SparkSession, sf: str) -> DataFrame:
+    """X1 (Dedupe.java:104-113): md5 content hashing, cluster cardinality."""
+    docs = load_table(spark, sf, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(content_hash(F.col("text"))).alias("n_distinct_md5"),
+    )
+
+
+SQL_DISTINCT_CONTENT = (
+    "SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct_md5 FROM documents"
+)
+
+
+def q_agg_lineitem_pricing(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1-style multi-aggregate (target additions, SURVEY.md §2.4)."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") < F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_AGG_LINEITEM_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-time bucket rollup (streaming-adjacent batch form)."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT event_type,
+       CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+def q_semi_join_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """J1 (Dedupe.java:90-113): candidates ⋉ duplicate blocks."""
+    docs = load_table(spark, sf, "documents")
+    keys = docs.select("doc_id", F.col("n_chars").cast("string").alias("block_key"))
+    blocks = surviving_blocks(keys).select("block_key")
+    return (
+        keys.join(blocks, "block_key", "left_semi")
+        .select("doc_id", F.col("block_key").cast("long").alias("n_chars"))
+    )
+
+
+SQL_SEMI_JOIN_CANDIDATES = """
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars IN (SELECT n_chars FROM documents GROUP BY n_chars HAVING count(*) >= 2)
+"""
+
+
+def q_anti_join_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """J4 (DedupeJar.java:67-72): entities WITHOUT a matching row —
+    customers with no urgent-priority order."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").where(F.col("o_orderpriority").startswith("1"))
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+SQL_ANTI_JOIN_CUSTOMERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority LIKE '1%')
+"""
+
+
+def q_label_join_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """J5 (DedupeJar.java:321-366): fan-out label join + coalesce."""
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("nation_name")
+    )
+    return c.join(F.broadcast(n), "c_nationkey", "left").select(
+        "c_custkey", F.coalesce("nation_name", F.lit("UNKNOWN")).alias("nation_name")
+    )
+
+
+SQL_LABEL_JOIN_NATION = """
+SELECT c_custkey, coalesce(n_name, 'UNKNOWN') AS nation_name
+FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+def q_window_block_count(spark: SparkSession, sf: str) -> DataFrame:
+    """J3 (DedupeJarRAM.java:126-142): adjacency scan ≡ window count."""
+    docs = load_table(spark, sf, "documents")
+    w = Window.partitionBy("lang", "n_chars")
+    return (
+        docs.withColumn("n_same", F.count(F.lit(1)).over(w))
+        .where(F.col("n_same") >= 2)
+        .select("doc_id", "lang", "n_chars", "n_same")
+    )
+
+
+SQL_WINDOW_BLOCK_COUNT = """
+SELECT doc_id, lang, n_chars, n_same FROM (
+  SELECT doc_id, lang, n_chars, count(*) OVER (PARTITION BY lang, n_chars) AS n_same
+  FROM documents
+) WHERE n_same >= 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.6 sorts / top-k, §2.7 set ops
+# ---------------------------------------------------------------------------
+
+def q_topk_longest_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """O4: deterministic top-k (ties broken by doc_id)."""
+    return (
+        load_table(spark, sf, "documents")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .select("doc_id", "n_chars")
+        .limit(10)
+    )
+
+
+SQL_TOPK_LONGEST_DOCS = (
+    "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 10"
+)
+
+
+def q_report_sort_brands(spark: SparkSession, sf: str) -> DataFrame:
+    """O3 (DedupeJar.java:392): case-insensitive report ordering."""
+    return (
+        load_table(spark, sf, "part")
+        .select("p_brand")
+        .distinct()
+        .orderBy(F.lower(F.col("p_brand")), F.col("p_brand"))
+    )
+
+
+SQL_REPORT_SORT_BRANDS = (
+    "SELECT DISTINCT p_brand FROM part ORDER BY lower(p_brand), p_brand"
+)
+
+
+def q_except_sources(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.7 set ops: except/anti (Dedupe.java:109-112 tombstoning)."""
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.select("source")
+        .distinct()
+        .exceptAll(docs.where(F.col("lang") == "zh").select("source").distinct())
+    )
+
+
+SQL_EXCEPT_SOURCES = """
+SELECT DISTINCT source FROM documents
+EXCEPT
+SELECT DISTINCT source FROM documents WHERE lang = 'zh'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (training-data ops; all JVM-side, SQL-checkable)
+# ---------------------------------------------------------------------------
+
+def q_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", TX.token_count(F.col("text")).alias("n_tokens"))
+
+
+SQL_TOKEN_COUNTS = f"SELECT doc_id, len({_DUCK_TOKS}) AS n_tokens FROM documents"
+
+
+def q_stopword_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id", F.round(TX.stopword_ratio(F.col("text")), 6).alias("stop_ratio")
+    )
+
+
+_DUCK_STOPS = "('the','a','of','and','to','in','is','it')"
+SQL_STOPWORD_RATIO = f"""
+SELECT doc_id,
+       CASE WHEN len(toks) > 0
+            THEN round(len(list_filter(toks, x -> lower(x) IN {_DUCK_STOPS}))::DOUBLE / len(toks), 6)
+            ELSE 0.0 END AS stop_ratio
+FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+SQL_QUALITY_SCORES = f"""
+SELECT doc_id,
+  round(
+    (CASE WHEN len(toks) BETWEEN 20 AND 100000 THEN 0.4::DOUBLE ELSE 0.0 END)
+    + (CASE WHEN len(toks) > 0 AND len(list_filter(toks, x -> lower(x) IN {_DUCK_STOPS}))::DOUBLE / len(toks) >= 0.01
+            THEN 0.3::DOUBLE ELSE 0.0 END)
+    + (CASE WHEN len(toks) > 0
+                 AND list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) BETWEEN 2.0 AND 12.0
+            THEN 0.3::DOUBLE ELSE 0.0 END)
+  , 6) AS quality
+FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+"""
+
+
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+SQL_LANG_ID = f"""
+SELECT doc_id,
+  CASE WHEN greatest(e, f, s, g) = 0 THEN 'und'
+       WHEN e = greatest(e, f, s, g) THEN 'en'
+       WHEN f = greatest(e, f, s, g) THEN 'fr'
+       WHEN s = greatest(e, f, s, g) THEN 'es'
+       ELSE 'de' END AS lang_pred
+FROM (
+  SELECT doc_id,
+    len(list_filter(toks, x -> x IN ('the','and','of'))) AS e,
+    len(list_filter(toks, x -> x IN ('le','la','et'))) AS f,
+    len(list_filter(toks, x -> x IN ('el','que','de'))) AS s,
+    len(list_filter(toks, x -> x IN ('der','und','die'))) AS g
+  FROM (SELECT doc_id, list_transform({_DUCK_TOKS}, x -> lower(x)) AS toks FROM documents)
+)
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+SQL_DOC_FINGERPRINT = f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(list_transform({_DUCK_TOKS}, x -> lower(x)))), ' ')) AS fp
+FROM documents
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """N-gram Jaccard near-dup scoring over same-length-block pairs —
+    the in-block expensive feature (Dedupe.java:104-113 analog)."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "n_chars", "text")
+    a = docs.alias("a")
+    b = docs.alias("b")
+    return (
+        a.join(b, "n_chars")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            F.round(token_jaccard_udf(F.col("a.text"), F.col("b.text")), 6).alias("jaccard3"),
+        )
+    )
+
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         list_distinct(CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+              WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE [array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks) - 2)]
+         END) AS sh
+  FROM (SELECT doc_id, n_chars, {_DUCK_TOKS} AS toks FROM documents)
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       round(CASE WHEN len(a.sh) = 0 AND len(b.sh) = 0 THEN 1.0::DOUBLE
+            WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0::DOUBLE
+            ELSE len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(list_concat(a.sh, b.sh)))
+       END, 6) AS jaccard3
+FROM t a JOIN t b ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search
+# ---------------------------------------------------------------------------
+
+def q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors — JVM-side
+    zip_with/aggregate cosine, broadcast queries, window top-k."""
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(emb)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_expr(F.col("qv"), F.col("v")).alias("c"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "rank", F.round("c", 6).alias("cos_sim"))
+    )
+
+
+SQL_ANN_TOPK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+s AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(qv, v) AS c
+  FROM q JOIN e ON e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank, round(c, 6) AS cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rank
+  FROM s
+) WHERE rank <= 10
+"""
+
+
+def q_embedding_label_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label vector stats: count + mean L2 norm (JVM higher-order fns)."""
+    emb = load_table(spark, sf, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    return (
+        emb.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.round(F.avg("norm"), 6).alias("avg_norm"))
+    )
+
+
+SQL_EMBEDDING_LABEL_STATS = """
+SELECT label, count(*) AS n_vecs,
+       round(avg(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))), 6) AS avg_norm
+FROM embeddings GROUP BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# Connected components (oracle: DuckDB recursive CTE)
+# ---------------------------------------------------------------------------
+
+def _cc_edges(docs: DataFrame) -> DataFrame:
+    """Deterministic multi-key edge set with real chaining: same n_chars
+    OR same (lang, n_chars bucket of 50)."""
+    a1 = docs.select(F.col("doc_id").alias("src"), "n_chars")
+    b1 = docs.select(F.col("doc_id").alias("dst"), "n_chars")
+    e1 = a1.join(b1, "n_chars").where(F.col("src") != F.col("dst")).select("src", "dst")
+    docs_b = docs.withColumn("bucket", (F.col("n_chars") / 50).cast("long"))
+    a2 = docs_b.select(F.col("doc_id").alias("src"), "lang", "bucket")
+    b2 = docs_b.select(F.col("doc_id").alias("dst"), "lang", "bucket")
+    e2 = a2.join(b2, ["lang", "bucket"]).where(F.col("src") != F.col("dst")).select("src", "dst")
+    return e1.unionByName(e2)
+
+
+def q_cc_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Large-star/small-star CC (SURVEY.md §7.2.7) on a deterministic
+    blocking-graph over documents; cluster_id = component min doc_id."""
+    docs = load_table(spark, sf, "documents")
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    return (
+        assign_all(nodes, _cc_edges(docs))
+        .select(F.col("node").alias("doc_id"), "cluster_id")
+    )
+
+
+SQL_CC_CLUSTERS = """
+WITH RECURSIVE edges AS (
+  SELECT a.doc_id AS u, b.doc_id AS v FROM documents a
+  JOIN documents b ON a.n_chars = b.n_chars AND a.doc_id <> b.doc_id
+  UNION
+  SELECT a.doc_id, b.doc_id FROM documents a
+  JOIN documents b ON a.lang = b.lang AND a.n_chars // 50 = b.n_chars // 50
+                   AND a.doc_id <> b.doc_id
+),
+reach AS (
+  SELECT doc_id AS u, doc_id AS v FROM documents
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sketch-based dedupe (non-SQL-expressible → rows-only driver check;
+# own Python oracles live in tests/)
+# ---------------------------------------------------------------------------
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH candidate pairs over documents (content blocking)."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    keys = block_keys(docs, use_minhash=True, use_simhash=False)
+    pairs, _ = generate_pairs(keys)
+    return pairs
+
+
+def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash band-collision candidate pairs over documents."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    keys = block_keys(docs, use_minhash=False, use_simhash=True)
+    pairs, _ = generate_pairs(keys)
+    return pairs
+
+
+def q_er_pipeline_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Flagship: the full ER chain (exact collapse → LSH blocking →
+    skew-split pairs → features → logistic scores → CC) over the
+    documents table treated as the extracted corpus."""
+    docs = (
+        load_table(spark, sf, "documents")
+        .select("doc_id", "text")
+        .withColumn("content_md5", content_hash(F.col("text")))
+    )
+    rep = docs.groupBy("content_md5").agg(F.min("doc_id").alias("rep_id"))
+    exact = docs.join(rep, "content_md5")
+    reps = exact.where(F.col("doc_id") == F.col("rep_id")).select("doc_id", "text")
+    keys = block_keys(reps)
+    pairs, _ = generate_pairs(keys, max_block_size=10_000)
+    feats = scoring.pair_features(attach_texts(pairs, reps))
+    match = scoring.matches(scoring.score_pairs(feats))
+    edges = match.select(F.col("id1").alias("src"), F.col("id2").alias("dst")).unionByName(
+        exact.where(F.col("doc_id") != F.col("rep_id")).select(
+            F.col("doc_id").alias("src"), F.col("rep_id").alias("dst")
+        )
+    )
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    return assign_all(nodes, edges).select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, QueryFn] = {
+    "block_discovery": q_block_discovery,
+    "block_priority": q_block_priority,
+    "facet_lang": q_facet_lang,
+    "facet_source_en": q_facet_source_en,
+    "distinct_sources_large": q_distinct_sources_large,
+    "distinct_content": q_distinct_content,
+    "agg_lineitem_pricing": q_agg_lineitem_pricing,
+    "events_hourly": q_events_hourly,
+    "semi_join_candidates": q_semi_join_candidates,
+    "anti_join_customers": q_anti_join_customers,
+    "label_join_nation": q_label_join_nation,
+    "window_block_count": q_window_block_count,
+    "topk_longest_docs": q_topk_longest_docs,
+    "report_sort_brands": q_report_sort_brands,
+    "except_sources": q_except_sources,
+    "token_counts": q_token_counts,
+    "stopword_ratio": q_stopword_ratio,
+    "quality_scores": q_quality_scores,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "ann_topk": q_ann_topk,
+    "embedding_label_stats": q_embedding_label_stats,
+    "cc_clusters": q_cc_clusters,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "er_pipeline_clusters": q_er_pipeline_clusters,
+}
+
+ORACLES: dict[str, str] = {
+    "block_discovery": SQL_BLOCK_DISCOVERY,
+    "block_priority": SQL_BLOCK_PRIORITY,
+    "facet_lang": SQL_FACET_LANG,
+    "facet_source_en": SQL_FACET_SOURCE_EN,
+    "distinct_sources_large": SQL_DISTINCT_SOURCES_LARGE,
+    "distinct_content": SQL_DISTINCT_CONTENT,
+    "agg_lineitem_pricing": SQL_AGG_LINEITEM_PRICING,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "semi_join_candidates": SQL_SEMI_JOIN_CANDIDATES,
+    "anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,
+    "label_join_nation": SQL_LABEL_JOIN_NATION,
+    "window_block_count": SQL_WINDOW_BLOCK_COUNT,
+    "topk_longest_docs": SQL_TOPK_LONGEST_DOCS,
+    "report_sort_brands": SQL_REPORT_SORT_BRANDS,
+    "except_sources": SQL_EXCEPT_SOURCES,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "stopword_ratio": SQL_STOPWORD_RATIO,
+    "quality_scores": SQL_QUALITY_SCORES,
+    "lang_id": SQL_LANG_ID,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "ann_topk": SQL_ANN_TOPK,
+    "embedding_label_stats": SQL_EMBEDDING_LABEL_STATS,
+    "cc_clusters": SQL_CC_CLUSTERS,
+    # minhash_lsh_pairs / simhash_pairs / er_pipeline_clusters:
+    # sketch-based, not ANSI-SQL-expressible → rows-only driver check;
+    # Python oracles in tests/test_hashing.py & tests/test_pipeline.py.
+}
