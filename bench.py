@@ -1,0 +1,119 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and the full ER
+pipeline on a generated corpus scaled to the sf, then prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": sf, ...extras}.
+
+Each query is forced end-to-end with a noop-format write (count()
+would let Catalyst prune expensive projections).
+
+The two-cluster-size scaling evidence (north_rule) lives in
+scripts/bench_scaling.py → BENCH/BASELINE.md; this file is the
+per-round single-parallelism timing loop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "agg_lineitem_pricing",
+    "events_hourly",
+    "semi_join_candidates",
+    "window_block_count",
+    "ngram_jaccard_pairs",
+    "ann_topk",
+    "cc_clusters",
+    "minhash_lsh_pairs",
+    "er_pipeline_clusters",
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.0
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from dedupe_spark.queries import QUERIES
+    from dedupe_spark.session import get_spark
+
+    sf = _sf_from_dir(SF_DIR)
+    spark = get_spark(
+        "bench",
+        cores=CPUS,
+        shuffle_partitions=CPUS,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        force(QUERIES[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
+
+    # Corpus-scale ER pipeline (FIXTURES.md: bench pages = 200k * sf).
+    from dedupe_spark.corpus import generate_pages
+    from dedupe_spark.pipeline import run_pipeline
+
+    n_pages = max(2000, int(200_000 * sf))
+    work = f"/tmp/bench_pipeline_{os.getpid()}"
+    shutil.rmtree(work, ignore_errors=True)
+    # Materialize the input corpus untimed — the pipeline is benchmarked
+    # reading a real table (the production shape: Iceberg/Parquet pages),
+    # not synthesizing test HTML in Python.
+    corpus_dir = f"/tmp/bench_corpus_{n_pages}"
+    if not os.path.exists(f"{corpus_dir}/_SUCCESS"):
+        generate_pages(spark, n_pages, seed=42).write.mode("overwrite").parquet(corpus_dir)
+    pages = spark.read.parquet(corpus_dir)
+    t0 = time.time()
+    out = run_pipeline(spark, pages, work)
+    t_pipe = round(time.time() - t0, 3)
+    n_pairs = out["s5_features"].count()
+    n_clusters = out["s8_report"].count()
+    timings["er_corpus_pipeline"] = t_pipe
+    print(
+        f"[bench] er_corpus_pipeline: {t_pipe}s ({n_pages} pages, "
+        f"{n_pairs} pairs scored, {n_clusters} dup clusters)",
+        file=sys.stderr,
+    )
+    shutil.rmtree(work, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_er_pipeline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": CPUS,
+                "er_corpus_pages": n_pages,
+                "er_corpus_pairs_scored": n_pairs,
+                "er_corpus_dup_clusters": n_clusters,
+                "er_corpus_pages_per_sec": round(n_pages / t_pipe, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

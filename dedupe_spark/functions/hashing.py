@@ -78,29 +78,22 @@ def lsh_band_keys(sig_col, n_bands: int = 32, rows_per_band: int = 4):
     return F.array(*bands)
 
 
-def simhash64(text: str, width: int = 3) -> int:
-    """64-bit SimHash over word w-shingle features (uniform weights).
+def _splitmix64(h: np.ndarray) -> np.ndarray:
+    """Deterministic 32→64-bit mix (splitmix64 finalizer), vectorized."""
+    z = h + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
 
-    Shingles, not unigrams: unigram distributions are near-identical
-    across same-language web pages (stopwords/boilerplate dominate), so
-    unigram simhashes of unrelated pages land within small Hamming
-    distance and banding degenerates. Shingles give a feature space
-    where unrelated docs share almost nothing.
-    """
-    toks = (text or "").split()
-    if not toks:
+
+def simhash_from_hashes(h32: np.ndarray) -> int:
+    """64-bit SimHash from the (distinct) shingle hash set, uniform
+    weights (Charikar '02). Bits come from a splitmix64 expansion of the
+    same crc32 shingle hashes the minhash uses — one shingle pass feeds
+    both sketches."""
+    if h32.size == 0:
         return 0
-    if len(toks) < width:
-        feats = [" ".join(toks)]
-    else:
-        feats = [" ".join(toks[i : i + width]) for i in range(len(toks) - width + 1)]
-    hs = np.fromiter(
-        (
-            zlib.crc32(t.encode("utf-8")) | (zlib.crc32(t[::-1].encode("utf-8")) << 32)
-            for t in feats
-        ),
-        dtype=np.uint64,
-    )
+    hs = _splitmix64(h32)
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
         np.int64
     )
@@ -111,9 +104,39 @@ def simhash64(text: str, width: int = 3) -> int:
     return int(fp.astype(np.int64))
 
 
+def simhash64(text: str, width: int = 3) -> int:
+    """64-bit SimHash over word w-shingle features (uniform weights).
+
+    Shingles, not unigrams: unigram distributions are near-identical
+    across same-language web pages (stopwords/boilerplate dominate), so
+    unigram simhashes of unrelated pages land within small Hamming
+    distance and banding degenerates. Shingles give a feature space
+    where unrelated docs share almost nothing.
+    """
+    return simhash_from_hashes(_shingle_hashes(text or "", width))
+
+
 @F.pandas_udf(T.LongType())
 def simhash_udf(text: pd.Series) -> pd.Series:
     return text.map(simhash64)
+
+
+def content_sketches(text: str) -> tuple[list[int], int]:
+    """(minhash signature, simhash) from ONE shingle-hashing pass."""
+    x = _shingle_hashes(text or "")
+    if x.size == 0:
+        return np.zeros(MINHASH_K, dtype=np.int64).tolist(), 0
+    v = (_A[:, None] * x[None, :] + _B[:, None]) % np.uint64(_MERSENNE_P)
+    return v.min(axis=1).astype(np.int64).tolist(), simhash_from_hashes(x)
+
+
+@F.pandas_udf(T.StructType([
+    T.StructField("sig", T.ArrayType(T.LongType())),
+    T.StructField("sh", T.LongType()),
+]))
+def content_sketches_udf(text: pd.Series) -> pd.DataFrame:
+    out = [content_sketches(t) for t in text]
+    return pd.DataFrame({"sig": [o[0] for o in out], "sh": [o[1] for o in out]})
 
 
 def simhash_band_keys(sim_col, n_bands: int = 4):

@@ -1,0 +1,135 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two paths (both pure DataFrame composition, JVM-side math via
+zip_with/aggregate — no Python hop for the distance):
+
+* ``brute_force_topk`` — exact cosine top-k: broadcast the query set,
+  cross join, window row_number. The baseline; at 10^12 rows its cost
+  is |Q|·|N| — use only for small query sets or as the oracle.
+
+* ``lsh_topk`` — random-hyperplane LSH (Charikar '02 cosine sketch):
+  each vector gets ``n_tables`` bucket keys from ``n_bits`` hyperplane
+  sign bits; candidates = bucket collisions in any table; exact cosine
+  re-rank of candidates only. The scale path: the bucket join is a
+  shuffled equi-join on (table, bucket) — co-partitioned, no cross
+  product, and hot buckets are handled by AQE skew splitting. Recall
+  is tunable via (n_tables, n_bits).
+
+Hyperplanes are a fixed seeded matrix broadcast as literals via a
+deterministic numpy RandomState — identical across executors/runs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dedupe_spark.functions.similarity import cosine_expr
+
+
+def _as_double(col):
+    return F.col(col).cast("array<double>")
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank, cos_sim).
+
+    ``queries`` must have (query_id_col, vec_col). Ties broken by
+    neighbor id for determinism under any partitioning.
+    """
+    cand = vectors.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("v"))
+    q = queries.select(F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(cand)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine_expr(F.col("qv"), F.col("v")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def hyperplane_buckets_udf(
+    dim: int,
+    n_tables: int = 8,
+    n_bits: int = 12,
+    seed: int = 0xA11CE,
+):
+    """Arrow-batched UDF factory: vector → array of n_tables
+    'table:bucket' keys, bucket = packed sign bits against a fixed
+    seeded hyperplane matrix. One numpy matmul per batch — the whole
+    batch's T·B dot products in a single BLAS call."""
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_tables * n_bits, dim))
+    powers = 1 << np.arange(n_bits)
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def udf(vecs: pd.Series) -> pd.Series:
+        out = []
+        if len(vecs) == 0:
+            return pd.Series(out, dtype="object")
+        X = np.array([v if v is not None else [0.0] * dim for v in vecs], dtype=np.float64)
+        bits = (X @ planes.T) >= 0  # (n, T*B)
+        buckets = bits.reshape(len(X), n_tables, n_bits) @ powers  # (n, T)
+        for row in buckets:
+            out.append([f"t{t}:{int(b)}" for t, b in enumerate(row)])
+        return pd.Series(out)
+
+    return udf
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    n_tables: int = 8,
+    n_bits: int = 12,
+) -> DataFrame:
+    """LSH-bucketed cosine top-k: same schema as brute_force_topk but
+    only bucket-colliding candidates are scored.
+
+    At scale: vectors-side keys are computed once (narrow), the
+    candidate join shuffles on the bucket key (equi-join, skew handled
+    by AQE), and the re-rank window is per-query."""
+    cand = vectors.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("v"))
+    q = queries.select(F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+    bucket_udf = hyperplane_buckets_udf(dim, n_tables, n_bits)
+    cand_keys = cand.select(
+        "neighbor_id", "v", F.explode(bucket_udf(F.col("v"))).alias("bucket")
+    )
+    q_keys = q.select(
+        "query_id", "qv", F.explode(bucket_udf(F.col("qv"))).alias("bucket")
+    )
+    candidates = (
+        q_keys.join(cand_keys, "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "qv", "neighbor_id", "v")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = candidates.select(
+        "query_id", "neighbor_id", cosine_expr(F.col("qv"), F.col("v")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

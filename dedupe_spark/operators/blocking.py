@@ -48,7 +48,16 @@ def block_keys(
     O(len).
     """
     parts: list[DataFrame] = []
-    if use_minhash:
+    if use_minhash and use_simhash:
+        # one Arrow pass computes both sketches (shared shingle hashing),
+        # one explode emits all band keys — no second Python hop
+        sk = docs.select("doc_id", hashing.content_sketches_udf(F.col("text")).alias("sk"))
+        all_keys = F.concat(
+            hashing.lsh_band_keys(F.col("sk.sig"), n_bands, rows_per_band),
+            hashing.simhash_band_keys(F.col("sk.sh")),
+        )
+        parts.append(sk.select("doc_id", F.explode(all_keys).alias("block_key")))
+    elif use_minhash:
         sig = docs.select(
             "doc_id", hashing.minhash_udf(F.col("text")).alias("sig")
         )
@@ -60,7 +69,7 @@ def block_keys(
                 ).alias("block_key"),
             )
         )
-    if use_simhash:
+    elif use_simhash:
         sh = docs.select("doc_id", hashing.simhash_udf(F.col("text")).alias("sh"))
         parts.append(
             sh.select(

@@ -74,23 +74,61 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+def _driver_union_find(edge_rows: list[tuple[int, int]]):
+    """Min-root union-find over a collected edge list."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return [(n, find(n)) for n in parent]
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 50,
+    driver_finish_edges: int = 2_000_000,
+) -> DataFrame:
     """edges(src, dst) → assignments(node, cluster_id).
 
     cluster_id = min node id of the component (deterministic under any
     partitioning). Nodes appearing only as isolated vertices must be
     unioned in by the caller (a node with no edges is its own cluster).
+
+    Hybrid termination: distributed large-star/small-star rounds do the
+    heavy contraction (each round shrinks the edge set toward stars);
+    once the remaining edge list is below ``driver_finish_edges`` it is
+    union-found on the driver in one pass — edge contraction preserves
+    connectivity, so the result is identical, and the O(log n) tail of
+    tiny Spark rounds (each ~6 shuffles of near-empty data) is avoided.
+    Set ``driver_finish_edges=0`` to force the fully distributed path.
     """
+    spark = edges.sparkSession
     cur = _canon(edges).localCheckpoint(eager=True)
     fp = _fingerprint(cur)
+    converged = False
     for _ in range(max_iter):
+        if fp[0] <= driver_finish_edges:
+            rows = _driver_union_find(
+                [(r["src"], r["dst"]) for r in cur.collect()]
+            )
+            return spark.createDataFrame(rows, "node long, cluster_id long")
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
         nfp = _fingerprint(nxt)
         cur = nxt
         if nfp == fp:
+            converged = True
             break
         fp = nfp
-    else:
+    if not converged:
         raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
     # Converged: every edge is (node, component_min).
     members = cur.select(F.col("src").alias("node"), F.col("dst").alias("cluster_id"))

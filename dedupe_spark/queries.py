@@ -302,6 +302,48 @@ SELECT DISTINCT source FROM documents WHERE lang = 'zh'
 """
 
 
+def q_tag_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """EP3 (DedupeJar.java:321-383): tags set on seed members spread to
+    every doc sharing the cluster key — restated as one fan-out join
+    (no per-cluster query loop). Seeds: every 20th doc tagged with its
+    source; key: the n_chars block."""
+    docs = load_table(spark, sf, "documents")
+    seeds = docs.where(F.col("doc_id") % 20 == 0).select(
+        "n_chars", F.col("source").alias("tag")
+    )
+    block_tags = seeds.groupBy("n_chars").agg(
+        F.sort_array(F.collect_set("tag")).alias("tags")
+    )
+    return docs.join(block_tags, "n_chars", "left").select(
+        "doc_id",
+        F.coalesce("tags", F.array().cast("array<string>")).alias("tags"),
+    )
+
+
+SQL_TAG_PROPAGATION = """
+SELECT doc_id, coalesce(t.tags, []) AS tags
+FROM documents d LEFT JOIN (
+  SELECT n_chars, list_sort(list_distinct(list(source))) AS tags
+  FROM documents WHERE doc_id % 20 = 0 GROUP BY n_chars
+) t USING (n_chars)
+"""
+
+
+def q_untagged_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """F8 + A2 (DedupeJar.java:67-72,385-411): array non-membership —
+    the 'jars without tag' report over the propagated tags."""
+    tagged = q_tag_propagation(spark, sf)
+    return (
+        tagged.where(~F.array_contains("tags", "src1"))
+        .select("doc_id")
+    )
+
+
+SQL_UNTAGGED_DOCS = f"""
+SELECT doc_id FROM ({SQL_TAG_PROPAGATION}) WHERE NOT list_contains(tags, 'src1')
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (training-data ops; all JVM-side, SQL-checkable)
 # ---------------------------------------------------------------------------
@@ -556,6 +598,35 @@ def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return pairs
 
 
+def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed ANN (the scale path): same shape as ann_topk but
+    only bucket-colliding candidates scored; recall vs brute force is
+    asserted in tests/test_ann.py."""
+    from dedupe_spark.operators.ann import lsh_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, q, k=10, dim=64, n_tables=12, n_bits=10).select(
+        "query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
+def q_image_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal: phash-banded near-duplicate image pairs over the
+    deterministic synthetic media table (decode stubbed — fake codec,
+    real Spark plumbing)."""
+    from dedupe_spark.operators.multimodal import (
+        image_features,
+        near_duplicate_images,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 300)
+    return near_duplicate_images(image_features(media), max_hamming=0)
+
+
 def q_er_pipeline_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Flagship: the full ER chain (exact collapse → LSH blocking →
     skew-split pairs → features → logistic scores → CC) over the
@@ -598,6 +669,8 @@ QUERIES: dict[str, QueryFn] = {
     "anti_join_customers": q_anti_join_customers,
     "label_join_nation": q_label_join_nation,
     "window_block_count": q_window_block_count,
+    "tag_propagation": q_tag_propagation,
+    "untagged_docs": q_untagged_docs,
     "topk_longest_docs": q_topk_longest_docs,
     "report_sort_brands": q_report_sort_brands,
     "except_sources": q_except_sources,
@@ -612,6 +685,8 @@ QUERIES: dict[str, QueryFn] = {
     "cc_clusters": q_cc_clusters,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "image_near_dups": q_image_near_dups,
     "er_pipeline_clusters": q_er_pipeline_clusters,
 }
 
@@ -628,6 +703,8 @@ ORACLES: dict[str, str] = {
     "anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,
     "label_join_nation": SQL_LABEL_JOIN_NATION,
     "window_block_count": SQL_WINDOW_BLOCK_COUNT,
+    "tag_propagation": SQL_TAG_PROPAGATION,
+    "untagged_docs": SQL_UNTAGGED_DOCS,
     "topk_longest_docs": SQL_TOPK_LONGEST_DOCS,
     "report_sort_brands": SQL_REPORT_SORT_BRANDS,
     "except_sources": SQL_EXCEPT_SOURCES,

@@ -21,13 +21,15 @@ a config change, not a code change.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import time
 from collections.abc import Callable
 
+import pyarrow as pa
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 CHECKPOINT_SCHEMA = (
     "stage string, partition_id int, rows_out long, "
@@ -72,23 +74,21 @@ class StageIO:
         out = self.stage_dir(stage)
         df.write.mode("overwrite").parquet(out)
         written = self.spark.read.parquet(out)
-        per_part = (
-            written.withColumn("partition_id", F.spark_partition_id())
-            .groupBy("partition_id")
-            .agg(F.count(F.lit(1)).alias("rows_out"))
-        )
+        # Per-partition counters from parquet footers (one task file per
+        # output partition): zero extra Spark jobs, and ground truth of
+        # what was durably written rather than what the plan promised.
         t_end = time.time()
         rows = [
             {
                 "stage": stage,
-                "partition_id": int(r["partition_id"]),
-                "rows_out": int(r["rows_out"]),
+                "partition_id": i,
+                "rows_out": pq.read_metadata(f).num_rows,
                 "t_start": t_start,
                 "t_end": t_end,
                 "status": "complete",
                 "lineage": lineage,
             }
-            for r in per_part.collect()
+            for i, f in enumerate(sorted(glob.glob(os.path.join(out, "part-*.parquet"))))
         ] or [
             {
                 "stage": stage,
@@ -100,8 +100,7 @@ class StageIO:
                 "lineage": lineage,
             }
         ]
-        ckpt = self.spark.createDataFrame(rows, schema=CHECKPOINT_SCHEMA)
-        ckpt.write.mode("append").parquet(self.checkpoints_dir())
+        self._append_checkpoint_rows(rows)
         with open(self._marker(stage), "w") as f:
             json.dump(
                 {
@@ -127,6 +126,27 @@ class StageIO:
         if not force and self.is_complete(stage):
             return self.read(stage), True
         return self.write(build(), stage, lineage=lineage), False
+
+    def _append_checkpoint_rows(self, rows: list[dict]) -> None:
+        """Driver-side append of tiny counter tables (a Spark write job
+        for <100 rows is pure overhead; pyarrow writes the same parquet)."""
+        d = self.checkpoints_dir()
+        os.makedirs(d, exist_ok=True)
+        table = pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("stage", pa.string()),
+                    ("partition_id", pa.int32()),
+                    ("rows_out", pa.int64()),
+                    ("t_start", pa.float64()),
+                    ("t_end", pa.float64()),
+                    ("status", pa.string()),
+                    ("lineage", pa.string()),
+                ]
+            ),
+        )
+        pq.write_table(table, os.path.join(d, f"ckpt-{rows[0]['stage']}-{time.time_ns()}.parquet"))
 
     def checkpoints(self) -> DataFrame:
         return self.spark.read.parquet(self.checkpoints_dir())

@@ -1,0 +1,126 @@
+"""Incremental / streaming ingest of a growing pages table.
+
+Reference analog (SURVEY.md §2.9): the reference is batch but
+explicitly incremental — a persistent task queue in the index
+("consider the process can stop anytime", Dedupe.java:56-66) with
+periodic checkpoints (DedupeRAM.java:33-35). Structured Streaming is
+the Spark idiom for the same contract: source offsets + sink commit
+log ARE the task queue, `trigger(availableNow=True)` is the
+"drain what's there, then stop" batch-resume mode, and the watermark
+bounds dedup state exactly like the reference bounds its in-flight
+queues.
+
+Operators:
+* ``stream_pages``        — file-source stream over the pages dir.
+* ``dedup_within_watermark`` — drop re-crawls of identical content
+  (content_md5) within the event-time watermark; state is bounded, so
+  it runs forever at 10^12-page scale.
+* ``page_rate``           — watermarked sliding-window ingest counts
+  (monitoring facet; the reference's progress logging).
+* ``run_incremental_exact_dedupe`` — availableNow foreachBatch job
+  appending first-seen pages to a dedup store via anti-join against
+  the store (idempotent across restarts: checkpointLocation + the
+  store itself are the resume state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dedupe_spark.corpus import PAGES_SCHEMA
+from dedupe_spark.operators.extract import extract_text_udf
+
+PAGES_STREAM_SCHEMA = PAGES_SCHEMA  # url, warc_ts, html, text, lang, truth_key
+
+
+def stream_pages(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str = PAGES_STREAM_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def with_content_key(pages: DataFrame) -> DataFrame:
+    """Extraction inside the stream: same byte-identical UDF as batch."""
+    return pages.withColumn(
+        "content_md5", F.md5(extract_text_udf(F.col("html")))
+    )
+
+
+def dedup_within_watermark(
+    pages: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """First occurrence of each content_md5 within the watermark window.
+
+    dropDuplicatesWithinWatermark keeps state only for the watermark
+    horizon — bounded memory at any input scale (vs dropDuplicates,
+    whose state grows without bound)."""
+    return (
+        with_content_key(pages)
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["content_md5"])
+    )
+
+
+def page_rate(
+    pages: DataFrame,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked windowed ingest counts per lang (append-mode safe)."""
+    win = F.window(F.col("warc_ts"), window, slide) if slide else F.window(F.col("warc_ts"), window)
+    return (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(win.alias("w"), "lang")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "lang",
+            "n_pages",
+        )
+    )
+
+
+def run_incremental_exact_dedupe(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+) -> None:
+    """Drain the pages dir (availableNow), append first-seen content to
+    ``store_dir``. Restart-safe: the stream checkpoint replays nothing,
+    and the anti-join against the store makes re-delivery idempotent —
+    the reference's queue-consume-delete cycle (Dedupe.java:117-133)
+    with the queue replaced by source offsets."""
+    deduped = dedup_within_watermark(stream_pages(spark, input_dir), watermark)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        out = batch.select("url", "warc_ts", "content_md5", "lang")
+        try:
+            existing = spark.read.parquet(store_dir).select("content_md5").distinct()
+            out = out.join(existing, "content_md5", "left_anti")
+        except Exception:
+            pass  # first batch: store doesn't exist yet
+        # within-batch dedup: one representative per key
+        out = out.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("content_md5").orderBy("url")),
+        ).where(F.col("rn") == 1).drop("rn")
+        out.write.mode("append").parquet(store_dir)
+
+    (
+        deduped.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

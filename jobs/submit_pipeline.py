@@ -1,0 +1,67 @@
+"""spark-submit entry point for the ER pipeline (north_star: "packaged
+for spark-submit --py-files").
+
+Cluster usage:
+    scripts/package.sh   # builds dist/dedupe_spark.zip
+    spark-submit \\
+        --master <cluster-master> \\
+        --py-files dist/dedupe_spark.zip \\
+        jobs/submit_pipeline.py \\
+        --input  <pages table path / iceberg table> \\
+        --work-dir <checkpointed stage root> \\
+        [--max-block-size 100000] [--threshold 0.5] [--stop-after s4_pairs]
+
+Local smoke:
+    python jobs/submit_pipeline.py --input /tmp/pages --work-dir /tmp/wd
+
+The session is obtained via SparkSession.builder.getOrCreate() so ALL
+cluster sizing (master, executors, memory, shuffle partitions) comes
+from spark-submit --conf, not from code."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="dedupe_spark ER pipeline")
+    p.add_argument("--input", required=True, help="pages parquet/iceberg path")
+    p.add_argument("--work-dir", required=True, help="stage/checkpoint root")
+    p.add_argument("--max-block-size", type=int, default=100_000)
+    p.add_argument("--hot-threshold", type=int, default=1000)
+    p.add_argument("--salt-buckets", type=int, default=16)
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--stop-after", default=None)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from dedupe_spark.pipeline import PipelineConfig, run_pipeline
+
+    spark = SparkSession.builder.appName("dedupe_spark_pipeline").getOrCreate()
+    pages = spark.read.parquet(args.input)
+    cfg = PipelineConfig(
+        max_block_size=args.max_block_size,
+        hot_threshold=args.hot_threshold,
+        salt_buckets=args.salt_buckets,
+        threshold=args.threshold,
+    )
+    t0 = time.time()
+    out = run_pipeline(spark, pages, args.work_dir, config=cfg, stop_after=args.stop_after)
+    stats = {
+        "wall_sec": round(time.time() - t0, 1),
+        "stages_skipped": [k for k, v in out["_skipped"].items() if v],
+        "stages_run": [k for k, v in out["_skipped"].items() if not v],
+    }
+    if "s7_clusters" in out:
+        stats["n_docs"] = out["s7_clusters"].count()
+        stats["n_dup_clusters"] = out["s8_report"].count()
+    print(json.dumps(stats))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

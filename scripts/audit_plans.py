@@ -1,0 +1,65 @@
+"""Physical-plan audit: print .explain("formatted") for key queries and
+flag missing optimizations (no parquet filter pushdown where expected,
+unpruned scans, missing broadcast on small dims).
+
+Usage: python scripts/audit_plans.py [query ...]
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, ".")
+
+SF_DIR = "/root/testdata/sf0.01"
+
+# name → (expected substrings, forbidden substrings)
+EXPECTATIONS = {
+    "facet_source_en": (["PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"], []),
+    "distinct_sources_large": (["PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,300)"], []),
+    "label_join_nation": (["BroadcastHashJoin"], ["SortMergeJoin"]),
+    "anti_join_customers": (["BroadcastHashJoin", "LeftAnti"], []),
+    "agg_lineitem_pricing": (["PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate,"], []),
+    "block_discovery": (["HashAggregate"], []),
+    "semi_join_candidates": (["LeftSemi"], []),
+    "topk_longest_docs": (["TakeOrderedAndProject"], []),
+}
+
+
+def main() -> int:
+    from dedupe_spark.queries import QUERIES
+    from dedupe_spark.session import get_spark
+
+    only = set(sys.argv[1:])
+    spark = get_spark("audit", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    bad = []
+    for name, (want, forbid) in EXPECTATIONS.items():
+        if only and name not in only:
+            continue
+        df = QUERIES[name](spark, SF_DIR)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        missing = [w for w in want if w not in plan]
+        present = [f for f in forbid if f in plan]
+        # column pruning check: ReadSchema should not include every column
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        status = "OK " if not missing and not present else "FAIL"
+        print(f"{name:26s} {status}  read_cols={[s.count(':') for s in schemas]}")
+        if missing:
+            print(f"    missing: {missing}")
+        if present:
+            print(f"    forbidden present: {present}")
+        if missing or present:
+            bad.append(name)
+            print(plan[:3000])
+    print(f"\n{len(bad)} plan problems" + (f": {bad}" if bad else ""))
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

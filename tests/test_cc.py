@@ -36,10 +36,13 @@ def _oracle(edges):
     return {n: uf.find(n) for n in uf.p}
 
 
-def _run(spark, edges):
+def _run(spark, edges, driver_finish_edges=2_000_000):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {
-        r["node"]: r["cluster_id"] for r in connected_components(df).collect()
+        r["node"]: r["cluster_id"]
+        for r in connected_components(
+            df, driver_finish_edges=driver_finish_edges
+        ).collect()
     }
     # oracle roots are the min of each component by construction of union
     want_sets = {}
@@ -75,6 +78,15 @@ def test_cc_random_graphs(spark):
         ]
         edges = [(a, b) for a, b in edges if a != b]
         _run(spark, edges)
+
+
+def test_cc_distributed_path(spark):
+    """Force the large-star/small-star iterations (no driver finish)."""
+    rng = random.Random(99)
+    edges = [(rng.randrange(150), rng.randrange(150)) for _ in range(160)]
+    edges = [(a, b) for a, b in edges if a != b]
+    _run(spark, edges, driver_finish_edges=0)
+    _run(spark, [(1, 2), (2, 3), (3, 4), (10, 11)], driver_finish_edges=0)
 
 
 def test_assign_all_isolated_nodes(spark):

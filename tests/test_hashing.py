@@ -77,6 +77,17 @@ def test_lsh_band_collision_for_identical(spark):
     assert shared == 8  # identical text → every band collides
 
 
+def test_content_sketches_consistent_with_standalone():
+    """The fused single-pass sketch UDF must agree with the standalone
+    minhash and simhash functions (block keys are interchangeable)."""
+    from dedupe_spark.functions.hashing import content_sketches
+
+    for t in ["", "one two three four five six seven", "x", "a b c d e f g h i j"]:
+        sig, sh = content_sketches(t)
+        assert sig == minhash_signature(t).tolist()
+        assert sh == simhash64(t)
+
+
 def test_simhash_identical_and_near():
     t1 = " ".join(f"tok{i}" for i in range(200))
     toks = t1.split()

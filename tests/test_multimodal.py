@@ -1,0 +1,83 @@
+"""Multimodal plumbing: schemas, batch shapes, deterministic fake
+decode, stub gating, phash blocking."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_spark.operators.multimodal import (
+    image_features,
+    near_duplicate_images,
+    sample_frames,
+    synthetic_media,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    df = synthetic_media(spark, 100).cache()
+    df.count()
+    return df
+
+
+def test_media_schema(media):
+    assert media.columns == [
+        "media_id", "kind", "payload", "mime", "width", "height", "duration_ms",
+    ]
+    kinds = {r["kind"] for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "video"}
+
+
+def test_image_features_deterministic(media):
+    f1 = {r["media_id"]: (r["phash"], r["mean_luma"]) for r in image_features(media).collect()}
+    f2 = {
+        r["media_id"]: (r["phash"], r["mean_luma"])
+        for r in image_features(media.repartition(7)).collect()
+    }
+    assert f1 == f2
+    assert len(f1) == media.where(F.col("kind") == "image").count()
+
+
+def test_planted_duplicates_same_phash(media):
+    feats = image_features(media)
+    # rows 10k+1 duplicate rows 10k (synthetic_media contract)
+    by_id = {r["media_id"]: r["phash"] for r in feats.collect()}
+    for base in ("m000010", "m000020", "m000030"):
+        dup = base[:-1] + "1"
+        if base in by_id and dup in by_id:
+            assert by_id[base] == by_id[dup]
+
+
+def test_stub_decoder_raises(spark, media):
+    with pytest.raises(Exception) as exc_info:
+        image_features(media, decoder="stub").collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+def test_frame_sampling_fanout(media):
+    frames = sample_frames(media, every_ms=1000)
+    n_videos = media.where(F.col("kind") == "video").count()
+    rows = frames.collect()
+    assert len(rows) == n_videos * 3  # 3500ms // 1000ms = 3 frames each
+    per_vid = {}
+    for r in rows:
+        per_vid.setdefault(r["media_id"], set()).add(r["frame_idx"])
+    assert all(v == {0, 1, 2} for v in per_vid.values())
+
+
+def test_near_duplicate_images_blocking(media):
+    feats = image_features(media)
+    pairs = near_duplicate_images(feats, max_hamming=0)
+    got = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    # every planted dup pair of image kind must be found
+    for r in media.where((F.col("kind") == "image")).collect():
+        idx = int(r["media_id"][1:])
+        if idx % 10 == 1 and (idx - 1) % 5 != 4:
+            assert (f"m{idx-1:06d}", r["media_id"]) in got
+    # and all found pairs are hamming<=0 i.e. equal phash
+    feats_map = {r["media_id"]: r["phash"] for r in feats.collect()}
+    for a, b in got:
+        assert feats_map[a] == feats_map[b]
