@@ -86,7 +86,7 @@ def main() -> None:
     t0 = time.time()
     out = run_pipeline(spark, pages, work)
     t_pipe = round(time.time() - t0, 3)
-    n_pairs = out["s5_features"].count()
+    n_pairs = out["s5_scored"].count()
     n_clusters = out["s8_report"].count()
     timings["er_corpus_pipeline"] = t_pipe
     print(

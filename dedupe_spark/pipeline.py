@@ -14,8 +14,8 @@ recomputing scored pairs — north_rule):
                       groupBy, not 10^12 pairs)
         ─ S3 keys:    MinHash-LSH + SimHash band keys on representatives
         ─ S4 pairs:   salted/skew-split canonical self-join
-        ─ S5 feats:   JW / Levenshtein / Jaccard / TF-cosine
-        ─ S6 scores:  logistic comparator → match edges
+        ─ S5 scored:  JW / Levenshtein / Jaccard / TF-cosine features
+                      + logistic comparator scores (one stage commit)
         ─ S7 cluster: large-star/small-star CC over
                       (match edges ∪ doc→representative star edges)
         ─ S8 report:  cluster rollups
@@ -83,11 +83,14 @@ def run_pipeline(
         return out
 
     # S2: exact-duplicate collapse. rep_id = min doc_id per content hash.
+    # Texts are NOT re-stored here (they live in s1): at 100 TB the text
+    # column dominates the table, and s2's consumers need only ids and
+    # hashes — representatives re-join their text from s1 on demand.
     def build_exact() -> DataFrame:
         hashed = docs.withColumn("content_md5", content_hash(F.col("text")))
         w_min = hashed.groupBy("content_md5").agg(F.min("doc_id").alias("rep_id"))
         return hashed.join(w_min, "content_md5").select(
-            "doc_id", "url", "lang", "text", "n_chars", "content_md5", "rep_id"
+            "doc_id", "url", "lang", "n_chars", "content_md5", "rep_id"
         )
 
     exact = stage("s2_exact", build_exact, "s1_docs")
@@ -95,7 +98,11 @@ def run_pipeline(
         out["_skipped"] = skipped  # type: ignore[assignment]
         return out
 
-    reps = exact.where(F.col("doc_id") == F.col("rep_id")).select("doc_id", "text")
+    reps = (
+        exact.where(F.col("doc_id") == F.col("rep_id"))
+        .select("doc_id")
+        .join(docs.select("doc_id", "text"), "doc_id")
+    )
 
     keys = stage(
         "s3_keys",
@@ -130,17 +137,19 @@ def run_pipeline(
         out["_skipped"] = skipped  # type: ignore[assignment]
         return out
 
-    feats = stage(
-        "s5_features",
-        lambda: scoring.pair_features(attach_texts(pairs, reps)),
+    # S5: features + scores in ONE materialized stage — the expensive
+    # compute is the feature UDFs; the affine+sigmoid score is one more
+    # column, and a separate commit would double the write of the
+    # largest intermediate. Resume-from-here still never recomputes a
+    # scored pair (north_rule).
+    scores = stage(
+        "s5_scored",
+        lambda: scoring.score_pairs(
+            scoring.pair_features(attach_texts(pairs, reps)), cfg.weights, cfg.bias
+        ),
         "s4_pairs",
     )
-    scores = stage(
-        "s6_scores",
-        lambda: scoring.score_pairs(feats, cfg.weights, cfg.bias),
-        "s5_features",
-    )
-    if stop_after == "s6_scores":
+    if stop_after == "s5_scored":
         out["_skipped"] = skipped  # type: ignore[assignment]
         return out
 
@@ -156,7 +165,7 @@ def run_pipeline(
             F.col("node").alias("doc_id"), "cluster_id"
         )
 
-    clusters = stage("s7_clusters", build_clusters, "s6_scores")
+    clusters = stage("s7_clusters", build_clusters, "s5_scored")
 
     stage(
         "s8_report",

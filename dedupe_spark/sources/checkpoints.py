@@ -32,7 +32,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 
 CHECKPOINT_SCHEMA = (
-    "stage string, partition_id int, rows_out long, "
+    "stage string, partition_id int, rows_in long, rows_out long, "
     "t_start double, t_end double, status string, lineage string"
 )
 
@@ -77,11 +77,15 @@ class StageIO:
         # Per-partition counters from parquet footers (one task file per
         # output partition): zero extra Spark jobs, and ground truth of
         # what was durably written rather than what the plan promised.
+        # rows_in = the lineage stage's total rows_out (stage-level;
+        # input→output partition mapping doesn't survive a shuffle).
+        rows_in = self._stage_rows_out(lineage)
         t_end = time.time()
         rows = [
             {
                 "stage": stage,
                 "partition_id": i,
+                "rows_in": rows_in,
                 "rows_out": pq.read_metadata(f).num_rows,
                 "t_start": t_start,
                 "t_end": t_end,
@@ -93,6 +97,7 @@ class StageIO:
             {
                 "stage": stage,
                 "partition_id": -1,
+                "rows_in": rows_in,
                 "rows_out": 0,
                 "t_start": t_start,
                 "t_end": t_end,
@@ -127,6 +132,14 @@ class StageIO:
             return self.read(stage), True
         return self.write(build(), stage, lineage=lineage), False
 
+    def _stage_rows_out(self, stage: str) -> int:
+        """Total rows a completed stage wrote (-1 if unknown/external)."""
+        marker = self._marker(stage)
+        if stage and os.path.exists(marker):
+            with open(marker) as f:
+                return int(json.load(f).get("rows_out", -1))
+        return -1
+
     def _append_checkpoint_rows(self, rows: list[dict]) -> None:
         """Driver-side append of tiny counter tables (a Spark write job
         for <100 rows is pure overhead; pyarrow writes the same parquet)."""
@@ -138,6 +151,7 @@ class StageIO:
                 [
                     ("stage", pa.string()),
                     ("partition_id", pa.int32()),
+                    ("rows_in", pa.int64()),
                     ("rows_out", pa.int64()),
                     ("t_start", pa.float64()),
                     ("t_end", pa.float64()),

@@ -103,6 +103,9 @@ def run_leg(cores: int, n_pages: int, out_path: str) -> None:
         },
     )
 
+    # Best-of-K timing: the sandbox host is multi-tenant and per-core
+    # throughput varies ±2x over minutes; the minimum is the standard
+    # low-noise estimator of the job's true cost.
     # -- workload 1: pairs scored / sec --------------------------------
     pairs = spark.read.parquet(pairs_dir(n_pages))
     n_pairs = pairs.count()
@@ -110,20 +113,25 @@ def run_leg(cores: int, n_pages: int, out_path: str) -> None:
     scoring.score_pairs(scoring.pair_features(pairs.limit(2000))).write.format(
         "noop"
     ).mode("overwrite").save()
-    t0 = time.time()
-    scored = scoring.score_pairs(scoring.pair_features(pairs))
-    scored.write.format("noop").mode("overwrite").save()
-    t_score = time.time() - t0
+    t_score = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        scored = scoring.score_pairs(scoring.pair_features(pairs))
+        scored.write.format("noop").mode("overwrite").save()
+        t_score = min(t_score, time.time() - t0)
 
     # -- workload 2: full pipeline pages / sec -------------------------
-    work = f"/tmp/scaling_pipe_{cores}"
-    shutil.rmtree(work, ignore_errors=True)
-    pages = spark.read.parquet(corpus_dir(n_pages))
-    t0 = time.time()
-    out = run_pipeline(spark, pages, work)
-    t_pipe = time.time() - t0
-    cl = sorted((r["doc_id"], r["cluster_id"]) for r in out["s7_clusters"].collect())
-    cluster_hash = hashlib.sha256(repr(cl).encode()).hexdigest()
+    t_pipe = float("inf")
+    cluster_hash = None
+    for _ in range(2):
+        work = f"/tmp/scaling_pipe_{cores}"
+        shutil.rmtree(work, ignore_errors=True)
+        pages = spark.read.parquet(corpus_dir(n_pages))
+        t0 = time.time()
+        out = run_pipeline(spark, pages, work)
+        t_pipe = min(t_pipe, time.time() - t0)
+        cl = sorted((r["doc_id"], r["cluster_id"]) for r in out["s7_clusters"].collect())
+        cluster_hash = hashlib.sha256(repr(cl).encode()).hexdigest()
 
     res = {
         "cores": cores,
@@ -217,7 +225,10 @@ the identical job + identical input at `local[{lo_cores}]` (N) and
   per-core speed, which is what equalized load simulates;
 * shuffle partitions scale with cores; `maxPartitionBytes` is lowered
   so the parquet scan has ≥2 splits per core; an untimed warm-up pass
-  precedes timing (warm executors are the steady state).
+  precedes timing (warm executors are the steady state);
+* best-of-3 (scoring) / best-of-2 (pipeline) timing — this multi-tenant
+  host's per-core throughput varies ±2× over minutes, and the minimum
+  is the standard low-noise estimator.
 
 Corpus: deterministic synthetic pages (seed 42), n = {n_pages:,};
 pair workload: {lo['n_pairs']:,} deterministic candidate pairs.
