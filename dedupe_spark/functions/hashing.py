@@ -35,18 +35,35 @@ _A = _rng.randint(1, _MERSENNE_P, size=MINHASH_K, dtype=np.int64).astype(np.uint
 _B = _rng.randint(0, _MERSENNE_P, size=MINHASH_K, dtype=np.int64).astype(np.uint64)
 
 
+_MIX1 = np.uint64(0x9E3779B97F4A7C15)
+_MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_MIX3 = np.uint64(0x165667B19E3779F9)
+
+
 def _shingle_hashes(text: str, width: int = 3) -> np.ndarray:
-    """crc32 hashes of word w-shingles (distinct), as uint64."""
+    """64-bit hashes of word w-shingles (distinct), as uint64.
+
+    One crc32 per TOKEN (not per shingle), then a vectorized
+    position-sensitive combine of ``width`` consecutive token hashes —
+    identical shingle ⇔ identical hash, but no per-shingle Python
+    string construction (the hot loop at corpus scale)."""
     toks = text.split()
     if not toks:
         return np.empty(0, dtype=np.uint64)
-    if len(toks) < width:
-        shingles = [" ".join(toks)]
-    else:
-        shingles = [" ".join(toks[i : i + width]) for i in range(len(toks) - width + 1)]
-    return np.unique(
-        np.fromiter((zlib.crc32(s.encode("utf-8")) for s in shingles), dtype=np.uint64)
+    th = np.fromiter(
+        (zlib.crc32(t.encode("utf-8")) for t in toks), dtype=np.uint64, count=len(toks)
     )
+    if len(toks) <= width:
+        combined = np.zeros(1, dtype=np.uint64)
+        for i, h in enumerate(th):
+            combined = combined * _MIX1 + h * (_MIX2 + np.uint64(2 * i + 1))
+    else:
+        n = len(toks) - width + 1
+        combined = np.zeros(n, dtype=np.uint64)
+        for w in range(width):
+            combined = combined * _MIX1 + th[w : w + n] * (_MIX2 + np.uint64(2 * w + 1))
+    z = (combined ^ (combined >> np.uint64(30))) * _MIX3
+    return np.unique(z ^ (z >> np.uint64(31)))
 
 
 def minhash_signature(text: str, width: int = 3) -> np.ndarray:
