@@ -53,17 +53,18 @@ def _shingle_hashes(text: str, width: int = 3) -> np.ndarray:
     th = np.fromiter(
         (zlib.crc32(t.encode("utf-8")) for t in toks), dtype=np.uint64, count=len(toks)
     )
-    if len(toks) <= width:
-        combined = np.zeros(1, dtype=np.uint64)
-        for i, h in enumerate(th):
-            combined = combined * _MIX1 + h * (_MIX2 + np.uint64(2 * i + 1))
-    else:
-        n = len(toks) - width + 1
-        combined = np.zeros(n, dtype=np.uint64)
-        for w in range(width):
-            combined = combined * _MIX1 + th[w : w + n] * (_MIX2 + np.uint64(2 * w + 1))
-    z = (combined ^ (combined >> np.uint64(30))) * _MIX3
-    return np.unique(z ^ (z >> np.uint64(31)))
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash design
+        if len(toks) <= width:
+            combined = np.zeros(1, dtype=np.uint64)
+            for i, h in enumerate(th):
+                combined = combined * _MIX1 + h * (_MIX2 + np.uint64(2 * i + 1))
+        else:
+            n = len(toks) - width + 1
+            combined = np.zeros(n, dtype=np.uint64)
+            for w in range(width):
+                combined = combined * _MIX1 + th[w : w + n] * (_MIX2 + np.uint64(2 * w + 1))
+        z = (combined ^ (combined >> np.uint64(30))) * _MIX3
+        return np.unique(z ^ (z >> np.uint64(31)))
 
 
 def minhash_signature(text: str, width: int = 3) -> np.ndarray:

@@ -251,6 +251,129 @@ SELECT doc_id, lang, n_chars, n_same FROM (
 """
 
 
+def q_rollup_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical rollup (subtotals + grand total) — SURVEY.md §2.4
+    target additions beyond the reference's flat facets."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+SQL_ROLLUP_ORDERS = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_rank_docs_per_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranking window: top-3 longest docs per language (deterministic
+    tiebreak on doc_id)."""
+    docs = load_table(spark, sf, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("lang", "rnk", "doc_id", "n_chars")
+    )
+
+
+SQL_RANK_DOCS_PER_LANG = """
+SELECT lang, rnk, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rnk
+  FROM documents
+) WHERE rnk <= 3
+"""
+
+
+def q_running_value_per_user(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame-spec window: running event-value sum per user over time
+    (first 50 users; rows-frame with deterministic ordering)."""
+    ev = load_table(spark, sf, "events").where(F.col("user_id") < 50)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+SQL_RUNNING_VALUE_PER_USER = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+FROM events WHERE user_id < 50
+"""
+
+
+def q_events_json(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON extraction from the props column + aggregate over it."""
+    ev = load_table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+SQL_EVENTS_JSON = """
+SELECT event_type, count(*) AS n,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_stats_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical aggregates: stddev + min/max spread per returnflag."""
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+SQL_STATS_LINEITEM = """
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 6) AS std_qty,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_intersect_sources(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.7 set ops: intersect — sources present in both en and fr."""
+    docs = load_table(spark, sf, "documents")
+    en = docs.where(F.col("lang") == "en").select("source")
+    fr = docs.where(F.col("lang") == "fr").select("source")
+    return en.intersect(fr)
+
+
+SQL_INTERSECT_SOURCES = """
+SELECT source FROM documents WHERE lang = 'en'
+INTERSECT
+SELECT source FROM documents WHERE lang = 'fr'
+"""
+
+
 # ---------------------------------------------------------------------------
 # §2.6 sorts / top-k, §2.7 set ops
 # ---------------------------------------------------------------------------
@@ -665,6 +788,12 @@ QUERIES: dict[str, QueryFn] = {
     "distinct_content": q_distinct_content,
     "agg_lineitem_pricing": q_agg_lineitem_pricing,
     "events_hourly": q_events_hourly,
+    "rollup_orders": q_rollup_orders,
+    "rank_docs_per_lang": q_rank_docs_per_lang,
+    "running_value_per_user": q_running_value_per_user,
+    "events_json": q_events_json,
+    "stats_lineitem": q_stats_lineitem,
+    "intersect_sources": q_intersect_sources,
     "semi_join_candidates": q_semi_join_candidates,
     "anti_join_customers": q_anti_join_customers,
     "label_join_nation": q_label_join_nation,
@@ -699,6 +828,12 @@ ORACLES: dict[str, str] = {
     "distinct_content": SQL_DISTINCT_CONTENT,
     "agg_lineitem_pricing": SQL_AGG_LINEITEM_PRICING,
     "events_hourly": SQL_EVENTS_HOURLY,
+    "rollup_orders": SQL_ROLLUP_ORDERS,
+    "rank_docs_per_lang": SQL_RANK_DOCS_PER_LANG,
+    "running_value_per_user": SQL_RUNNING_VALUE_PER_USER,
+    "events_json": SQL_EVENTS_JSON,
+    "stats_lineitem": SQL_STATS_LINEITEM,
+    "intersect_sources": SQL_INTERSECT_SOURCES,
     "semi_join_candidates": SQL_SEMI_JOIN_CANDIDATES,
     "anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,
     "label_join_nation": SQL_LABEL_JOIN_NATION,

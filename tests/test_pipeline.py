@@ -83,6 +83,21 @@ def test_resume_skips_completed_stages(spark, corpus, tmp_path):
     assert a == b
 
 
+def test_partial_write_without_marker_recomputed(spark, corpus, tmp_path):
+    """A stage data dir WITHOUT its completion marker (crash mid-write)
+    must be recomputed, not trusted — the marker-written-last protocol."""
+    import os
+
+    work = str(tmp_path / "partial")
+    first = run_pipeline(spark, corpus, work, stop_after="s2_exact")
+    assert not first["_skipped"]["s2_exact"]
+    # simulate crash: drop s2's marker but keep its (possibly torn) data
+    os.remove(f"{work}/_checkpoint_s2_exact.json")
+    second = run_pipeline(spark, corpus, work, stop_after="s2_exact")
+    assert second["_skipped"]["s1_docs"]
+    assert not second["_skipped"]["s2_exact"]  # recomputed
+
+
 def test_lineage_counters_written(spark, corpus, pipe):
     work, out = pipe
     ckpt = spark.read.parquet(f"{work}/checkpoints")
