@@ -18,7 +18,10 @@ def spark():
         app_name="dedupe_spark_tests",
         cores=4,
         shuffle_partitions=4,
-        extra_conf={"spark.driver.memory": "4g"},
+        extra_conf={
+            "spark.driver.memory": "4g",
+            "spark.sql.warehouse.dir": "/tmp/dedupe_spark_test_warehouse",
+        },
     )
     yield s
 
