@@ -27,7 +27,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 HEADLINE = [
     "agg_lineitem_pricing",
+    "rollup_orders",
     "events_hourly",
+    "running_value_per_user",
+    "stats_lineitem",
     "semi_join_candidates",
     "window_block_count",
     "ngram_jaccard_pairs",

@@ -162,6 +162,34 @@ class StageIO:
         )
         pq.write_table(table, os.path.join(d, f"ckpt-{rows[0]['stage']}-{time.time_ns()}.parquet"))
 
+    def upsert(self, df: DataFrame, stage: str, key: str) -> DataFrame:
+        """MERGE-INTO semantics on a stage table (reference S6 upsert
+        sink, Dedupe.java:180-184: re-POSTed ids overwrite in place).
+
+        Incoming rows replace existing rows with the same key; others
+        are appended. Parquet spelling of Iceberg's
+        ``MERGE INTO t USING s ON t.key = s.key WHEN MATCHED THEN
+        UPDATE * WHEN NOT MATCHED THEN INSERT *`` — an anti-join +
+        union + atomic rewrite."""
+        out = self.stage_dir(stage)
+        if self.is_complete(stage):
+            existing = self.read(stage)
+            keep = existing.join(df.select(key).distinct(), key, "left_anti")
+            merged = keep.unionByName(df)
+        else:
+            merged = df
+        # write to a temp dir first: the source of `merged` includes the
+        # target path, so an in-place overwrite would read-while-truncate
+        tmp = out + "__merge_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        self.reset(stage)
+        staged = self.spark.read.parquet(tmp)
+        result = self.write(staged, stage, lineage=f"upsert:{key}")
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        return result
+
     def checkpoints(self) -> DataFrame:
         return self.spark.read.parquet(self.checkpoints_dir())
 

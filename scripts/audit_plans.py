@@ -26,6 +26,10 @@ EXPECTATIONS = {
     "block_discovery": (["HashAggregate"], []),
     "semi_join_candidates": (["LeftSemi"], []),
     "topk_longest_docs": (["TakeOrderedAndProject"], []),
+    "rank_docs_per_lang": (["Window"], ["CartesianProduct"]),
+    "running_value_per_user": (["Window", "PushedFilters: [IsNotNull(user_id), LessThan(user_id,50)"], []),
+    "rollup_orders": (["Expand", "HashAggregate"], []),
+    "ann_topk": (["BroadcastNestedLoopJoin"], ["CartesianProduct"]),
 }
 
 

@@ -66,6 +66,22 @@ def test_all_docs_assigned(spark, corpus, pipe):
     assert out["s7_clusters"].select("doc_id").distinct().count() == corpus.count()
 
 
+def test_f1_across_seeds(spark, tmp_path):
+    """§5.2.6: the F1 invariant must hold for corpora other than the
+    fixture seed."""
+    from dedupe_spark.corpus import generate_pages
+
+    for seed in (7, 1234):
+        pages = generate_pages(spark, 400, seed=seed)
+        out = run_pipeline(spark, pages, str(tmp_path / f"s{seed}"))
+        truth = pages.select(F.xxhash64("url").alias("doc_id"), "truth_key")
+        labeled = evaluate.labeled_same_block_pairs(
+            evaluate.doc_level_keys(out["s2_exact"], out["s3_keys"]), truth
+        )
+        m = evaluate.pairwise_f1(labeled, out["s7_clusters"])
+        assert m["f1"] >= 0.99, (seed, m)
+
+
 def test_resume_skips_completed_stages(spark, corpus, tmp_path):
     work = str(tmp_path / "resume")
     # run only through s4 (simulated kill)
