@@ -654,6 +654,91 @@ FROM embeddings GROUP BY label
 """
 
 
+def q_embedding_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute-force, oracle-
+    checked; the LSH-bucketed scale path is ann_lsh_topk)."""
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("id1"), F.col("v").alias("v1"))
+    b = emb.select(F.col("vec_id").alias("id2"), F.col("v").alias("v2"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", cosine_expr(F.col("v1"), F.col("v2")).alias("c"))
+        .where(F.col("c") >= 0.4)
+        .select("id1", "id2", F.round("c", 6).alias("cos_sim"))
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP_PAIRS = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+"""
+
+
+def q_dedup_by_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-insensitive document dedup: one representative (min
+    doc_id) per sorted-token-set fingerprint."""
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("members"))
+    )
+
+
+SQL_DEDUP_BY_FINGERPRINT = f"""
+SELECT md5(array_to_string(list_sort(list_distinct(list_transform({_DUCK_TOKS}, x -> lower(x)))), ' ')) AS fp,
+       min(doc_id) AS rep_id, count(*) AS members
+FROM documents GROUP BY fp
+"""
+
+
+def q_user_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) — lag + cumulative
+    window sum, the batch form of streaming session windows."""
+    ev = load_table(spark, sf, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(
+        F.lag("ts").over(w_order)
+    )
+    with_new = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sess = with_new.withColumn(
+        "session_idx", F.sum("new_session").over(w_order)
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("session_idx").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SQL_USER_SESSIONS = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM g
+)
+SELECT user_id, max(session_idx) AS n_sessions, count(*) AS n_events
+FROM s GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Connected components (oracle: DuckDB recursive CTE)
 # ---------------------------------------------------------------------------
@@ -811,6 +896,9 @@ QUERIES: dict[str, QueryFn] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ann_topk": q_ann_topk,
     "embedding_label_stats": q_embedding_label_stats,
+    "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+    "dedup_by_fingerprint": q_dedup_by_fingerprint,
+    "user_sessions": q_user_sessions,
     "cc_clusters": q_cc_clusters,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -851,6 +939,9 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "ann_topk": SQL_ANN_TOPK,
     "embedding_label_stats": SQL_EMBEDDING_LABEL_STATS,
+    "embedding_near_dup_pairs": SQL_EMBEDDING_NEAR_DUP_PAIRS,
+    "dedup_by_fingerprint": SQL_DEDUP_BY_FINGERPRINT,
+    "user_sessions": SQL_USER_SESSIONS,
     "cc_clusters": SQL_CC_CLUSTERS,
     # minhash_lsh_pairs / simhash_pairs / er_pipeline_clusters:
     # sketch-based, not ANSI-SQL-expressible → rows-only driver check;
