@@ -22,8 +22,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# local-smoke path setup; under spark-submit --py-files the zip provides
+# the package and this is a harmless no-op
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv: list[str] | None = None) -> int:
