@@ -92,6 +92,81 @@ def hyperplane_buckets_udf(
     return udf
 
 
+def ivf_build(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 10,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: k-means centroids (pyspark.ml, seeded) +
+    cell assignment per vector.
+
+    Returns (assigned(id, v, cell), centroids). At scale the assigned
+    table is written partitioned by cell — a query then scans only its
+    probed cells (partition pruning does the 'inverted file' part)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    dv = vectors.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("v")
+    )
+    ml_df = dv.withColumn("features", array_to_vector("v"))
+    km = KMeans(k=n_cells, seed=seed, maxIter=max_iter, featuresCol="features")
+    model = km.fit(ml_df)
+    assigned = model.transform(ml_df).select(
+        "neighbor_id", "v", F.col("prediction").alias("cell")
+    )
+    centroids = [c.tolist() for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 3,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF search: probe the ``n_probe`` nearest cells per query (by
+    centroid cosine), exact re-rank within probed cells.
+
+    Centroids are a driver-side list (k × dim floats — tiny) turned
+    into a broadcast literal table; the probe join prunes the assigned
+    table to the probed cells before any distance work."""
+    spark = assigned.sparkSession
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    cent = spark.createDataFrame(cent_rows, "cell int, cv array<double>")
+
+    q = queries.select(F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+    probe_w = Window.partitionBy("query_id").orderBy(F.desc("cc"), F.asc("cell"))
+    probes = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cent))
+        .select("query_id", "qv", "cell", cosine_expr(F.col("qv"), F.col("cv")).alias("cc"))
+        .withColumn("pr", F.row_number().over(probe_w))
+        .where(F.col("pr") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    scored = (
+        probes.join(assigned, "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", cosine_expr(F.col("qv"), F.col("v")).alias("cos_sim")
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,

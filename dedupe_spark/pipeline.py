@@ -53,6 +53,12 @@ class PipelineConfig:
     weights: dict = field(default_factory=lambda: dict(scoring.DEFAULT_WEIGHTS))
     bias: float = scoring.DEFAULT_BIAS
     use_simhash: bool = True
+    # recall-critical preset knobs: extra predicate-key families
+    # (url-domain needs `url` on the docs; sampled n-grams add ~len/mod
+    # keys per doc — both off by default, minhash+simhash reach F1=1.0
+    # on the planted corpus without them)
+    use_ngrams: bool = False
+    use_domain: bool = False
 
 
 def run_pipeline(
@@ -98,10 +104,11 @@ def run_pipeline(
         out["_skipped"] = skipped  # type: ignore[assignment]
         return out
 
+    rep_cols = ["doc_id", "url", "text"] if cfg.use_domain else ["doc_id", "text"]
     reps = (
         exact.where(F.col("doc_id") == F.col("rep_id"))
         .select("doc_id")
-        .join(docs.select("doc_id", "text"), "doc_id")
+        .join(docs.select(*rep_cols), "doc_id")
     )
 
     keys = stage(
@@ -110,6 +117,8 @@ def run_pipeline(
             reps,
             use_minhash=True,
             use_simhash=cfg.use_simhash,
+            use_ngrams=cfg.use_ngrams,
+            use_domain=cfg.use_domain,
             n_bands=cfg.n_bands,
             rows_per_band=cfg.rows_per_band,
         ),

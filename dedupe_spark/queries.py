@@ -821,6 +821,20 @@ def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN (k-means coarse quantizer + probed-cell re-rank)."""
+    from dedupe_spark.operators.ann import ivf_build, ivf_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    assigned, centroids = ivf_build(emb, n_cells=8)
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(assigned, centroids, q, k=10, n_probe=3).select(
+        "query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
 def q_image_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal: phash-banded near-duplicate image pairs over the
     deterministic synthetic media table (decode stubbed — fake codec,
@@ -903,6 +917,7 @@ QUERIES: dict[str, QueryFn] = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "image_near_dups": q_image_near_dups,
     "er_pipeline_clusters": q_er_pipeline_clusters,
 }

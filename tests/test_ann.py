@@ -57,6 +57,25 @@ def test_lsh_recall_vs_brute_force(vectors):
     assert recall >= 0.8, f"LSH recall {recall:.2f}"
 
 
+def test_ivf_recall_vs_brute_force(vectors):
+    from dedupe_spark.operators.ann import ivf_build, ivf_topk
+
+    df, _ = vectors
+    assigned, centroids = ivf_build(df, n_cells=10)
+    assigned = assigned.cache()
+    queries = df.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(df, queries, k=5)
+    approx = ivf_topk(assigned, centroids, queries, k=5, n_probe=3)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assigned.unpersist()
+    # clustered data: a query's true neighbors share its k-means cell
+    assert recall >= 0.9, f"IVF recall {recall:.2f}"
+
+
 def test_lsh_candidates_scored_exactly(vectors):
     """Every (query, neighbor) the LSH path returns must carry the
     exact cosine (same value as brute force computes)."""

@@ -82,6 +82,24 @@ def test_f1_across_seeds(spark, tmp_path):
         assert m["f1"] >= 0.99, (seed, m)
 
 
+def test_pipeline_with_extra_key_families(spark, tmp_path):
+    """The ngram+domain preset must run end-to-end and keep F1."""
+    from dedupe_spark.corpus import generate_pages
+
+    pages = generate_pages(spark, 300, seed=5)
+    cfg = PipelineConfig(use_ngrams=True, use_domain=True)
+    out = run_pipeline(spark, pages, str(tmp_path / "preset"), config=cfg)
+    truth = pages.select(F.xxhash64("url").alias("doc_id"), "truth_key")
+    labeled = evaluate.labeled_same_block_pairs(
+        evaluate.doc_level_keys(out["s2_exact"], out["s3_keys"]), truth
+    )
+    m = evaluate.pairwise_f1(labeled, out["s7_clusters"])
+    # domain keys add non-dup same-domain pairs to the labeled set;
+    # precision of the final clusters must not degrade
+    assert m["precision"] == 1.0, m
+    assert m["recall"] >= 0.99, m
+
+
 def test_resume_skips_completed_stages(spark, corpus, tmp_path):
     work = str(tmp_path / "resume")
     # run only through s4 (simulated kill)
