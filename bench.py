@@ -62,7 +62,14 @@ def main() -> None:
         "bench",
         cores=CPUS,
         shuffle_partitions=CPUS,
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # sandbox testdata is one small file per table — split scans
+            # finely so UDF stages parallelize (at real scale the input
+            # has many files and the 128MB default is right)
+            "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(256 * 1024),
+        },
     )
 
     # best-of-2 timing: the sandbox host is multi-tenant and per-core

@@ -791,8 +791,14 @@ SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
 # ---------------------------------------------------------------------------
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash-LSH candidate pairs over documents (content blocking)."""
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    """MinHash-LSH candidate pairs over documents (content blocking).
+
+    The sandbox table is a single-row-group file (unsplittable scan),
+    so the sketch UDF stage is explicitly repartitioned to the
+    cluster's parallelism — at scale the input arrives as many files/row groups and
+    sizing stage partitions to the cluster is standard."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf, "documents").select("doc_id", "text").repartition(par)
     keys = block_keys(docs, use_minhash=True, use_simhash=False)
     pairs, _ = generate_pairs(keys)
     return pairs
@@ -800,7 +806,8 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash band-collision candidate pairs over documents."""
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf, "documents").select("doc_id", "text").repartition(par)
     keys = block_keys(docs, use_minhash=False, use_simhash=True)
     pairs, _ = generate_pairs(keys)
     return pairs
@@ -856,6 +863,7 @@ def q_er_pipeline_clusters(spark: SparkSession, sf: str) -> DataFrame:
     docs = (
         load_table(spark, sf, "documents")
         .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("content_md5", content_hash(F.col("text")))
     )
     rep = docs.groupBy("content_md5").agg(F.min("doc_id").alias("rep_id"))
