@@ -785,6 +785,26 @@ SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
 """
 
 
+def q_cluster_size_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """S8/S9 report rollup (DedupeJar.java:385-490 analog): cluster-size
+    histogram over the CC clustering — members-per-cluster, then
+    clusters-per-size."""
+    clusters = q_cc_clusters(spark, sf)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("members"))
+        .groupBy("members")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
+SQL_CLUSTER_SIZE_HISTOGRAM = f"""
+SELECT members, count(*) AS n_clusters FROM (
+  SELECT cluster_id, count(*) AS members FROM ({SQL_CC_CLUSTERS}) GROUP BY cluster_id
+) GROUP BY members
+"""
+
+
 # ---------------------------------------------------------------------------
 # Sketch-based dedupe (non-SQL-expressible → rows-only driver check;
 # own Python oracles live in tests/)
@@ -922,6 +942,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_by_fingerprint": q_dedup_by_fingerprint,
     "user_sessions": q_user_sessions,
     "cc_clusters": q_cc_clusters,
+    "cluster_size_histogram": q_cluster_size_histogram,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -966,6 +987,7 @@ ORACLES: dict[str, str] = {
     "dedup_by_fingerprint": SQL_DEDUP_BY_FINGERPRINT,
     "user_sessions": SQL_USER_SESSIONS,
     "cc_clusters": SQL_CC_CLUSTERS,
+    "cluster_size_histogram": SQL_CLUSTER_SIZE_HISTOGRAM,
     # minhash_lsh_pairs / simhash_pairs / er_pipeline_clusters:
     # sketch-based, not ANSI-SQL-expressible → rows-only driver check;
     # Python oracles in tests/test_hashing.py & tests/test_pipeline.py.
