@@ -23,6 +23,7 @@ edge set, avoiding a full except() comparison.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -117,10 +118,12 @@ def connected_components(
     converged = False
     for _ in range(max_iter):
         if fp[0] <= driver_finish_edges:
+            pdf = cur.toPandas()  # Arrow transfer — no per-row Row objects
             rows = _driver_union_find(
-                [(r["src"], r["dst"]) for r in cur.collect()]
+                zip(pdf["src"].tolist(), pdf["dst"].tolist())
             )
-            return spark.createDataFrame(rows, "node long, cluster_id long")
+            out = pd.DataFrame(rows, columns=["node", "cluster_id"])
+            return spark.createDataFrame(out, "node long, cluster_id long")
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
         nfp = _fingerprint(nxt)
         cur = nxt
