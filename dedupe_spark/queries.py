@@ -13,7 +13,6 @@ sides so cross-engine double-summation-order noise can't flip the hash.
 
 from __future__ import annotations
 
-import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window

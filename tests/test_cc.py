@@ -94,3 +94,16 @@ def test_assign_all_isolated_nodes(spark):
     edges = spark.createDataFrame([(0, 1), (2, 3)], "src long, dst long")
     got = {r["node"]: r["cluster_id"] for r in assign_all(nodes, edges).collect()}
     assert got == {0: 0, 1: 0, 2: 2, 3: 2, 4: 4, 5: 5}
+
+
+def test_cc_nonconvergence_raises(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=0, driver_finish_edges=0)
+
+
+def test_cc_empty_edges(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(df).count() == 0

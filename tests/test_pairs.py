@@ -88,3 +88,12 @@ def test_block_cap_reported_not_silent(spark):
     assert len(capped_rows) == 1
     assert capped_rows[0]["block_key"] == "huge"
     assert capped_rows[0]["copies"] == 50
+
+
+def test_grid_degenerate_single_bucket(spark):
+    """salt_buckets=1: the whole hot block lands in cell (0,0) — the
+    diagonal id-filter path must still yield exact pairs."""
+    blocks = {"hot": list(range(30))}
+    pairs, _ = generate_pairs(_keys_df(spark, blocks), hot_threshold=5, salt_buckets=1)
+    got = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    assert got == _expected_pairs(blocks)
