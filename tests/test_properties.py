@@ -24,7 +24,7 @@ texts = st.lists(words, min_size=0, max_size=40).map(" ".join)
 short = st.text(alphabet="abcde ", max_size=20)
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, derandomize=True)
 @given(short, short)
 def test_jaro_winkler_matches_duckdb_property(s1, s2):
     want = duckdb.sql(
@@ -33,7 +33,7 @@ def test_jaro_winkler_matches_duckdb_property(s1, s2):
     assert jaro_winkler(s1, s2) == pytest.approx(want, abs=1e-9)
 
 
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=100, deadline=None, derandomize=True)
 @given(texts, texts)
 def test_jaccard_symmetric_bounded(t1, t2):
     j = token_jaccard(t1, t2)
@@ -42,7 +42,7 @@ def test_jaccard_symmetric_bounded(t1, t2):
     assert token_jaccard(t1, t1) == 1.0
 
 
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=100, deadline=None, derandomize=True)
 @given(texts, texts)
 def test_shingle_hash_jaccard_equals_string_jaccard(t1, t2):
     """The vectorized 64-bit shingle hashing must preserve shingle-set
@@ -56,7 +56,7 @@ def test_shingle_hash_jaccard_equals_string_jaccard(t1, t2):
     assert hash_j == pytest.approx(token_jaccard(t1, t2))
 
 
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=100, deadline=None, derandomize=True)
 @given(texts)
 def test_sketches_deterministic_and_consistent(t):
     sig, sh = content_sketches(t)
@@ -66,7 +66,7 @@ def test_sketches_deterministic_and_consistent(t):
     assert sh == simhash64(t)
 
 
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=100, deadline=None, derandomize=True)
 @given(texts, texts)
 def test_tf_cosine_bounds_symmetry(t1, t2):
     c = tfidf_cosine(t1, t2)
@@ -78,7 +78,7 @@ def test_tf_cosine_bounds_symmetry(t1, t2):
 html_bytes = st.binary(max_size=300)
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, derandomize=True)
 @given(html_bytes)
 def test_extract_total_and_deterministic(b):
     """Extraction never raises on arbitrary bytes and is a pure function."""
