@@ -424,11 +424,12 @@ SELECT DISTINCT source FROM documents WHERE lang = 'zh'
 """
 
 
-def q_tag_propagation(spark: SparkSession, sf: str) -> DataFrame:
+def _tag_propagation_arrays(spark: SparkSession, sf: str) -> DataFrame:
     """EP3 (DedupeJar.java:321-383): tags set on seed members spread to
     every doc sharing the cluster key — restated as one fan-out join
     (no per-cluster query loop). Seeds: every 20th doc tagged with its
-    source; key: the n_chars block."""
+    source; key: the n_chars block. Returns ``tags`` as array<string>
+    for in-engine consumers (``untagged_docs``)."""
     docs = load_table(spark, sf, "documents")
     seeds = docs.where(F.col("doc_id") % 20 == 0).select(
         "n_chars", F.col("source").alias("tag")
@@ -442,8 +443,19 @@ def q_tag_propagation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tag_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """EP3 public shape: the driver's hash canonicalizer cannot sort
+    list-typed columns, so the oracle-checked query emits the sorted
+    tag set joined with ','. Values identical to the array form."""
+    return _tag_propagation_arrays(spark, sf).select(
+        "doc_id", F.array_join("tags", ",").alias("tags_csv")
+    )
+
+
+# DuckDB's array_to_string returns NULL for an empty/NULL list, so the
+# coalesce to '' goes on the string (Spark's array_join([]) is '').
 SQL_TAG_PROPAGATION = """
-SELECT doc_id, coalesce(t.tags, []) AS tags
+SELECT doc_id, coalesce(array_to_string(t.tags, ','), '') AS tags_csv
 FROM documents d LEFT JOIN (
   SELECT n_chars, list_sort(list_distinct(list(source))) AS tags
   FROM documents WHERE doc_id % 20 = 0 GROUP BY n_chars
@@ -454,15 +466,21 @@ FROM documents d LEFT JOIN (
 def q_untagged_docs(spark: SparkSession, sf: str) -> DataFrame:
     """F8 + A2 (DedupeJar.java:67-72,385-411): array non-membership —
     the 'jars without tag' report over the propagated tags."""
-    tagged = q_tag_propagation(spark, sf)
+    tagged = _tag_propagation_arrays(spark, sf)
     return (
         tagged.where(~F.array_contains("tags", "src1"))
         .select("doc_id")
     )
 
 
-SQL_UNTAGGED_DOCS = f"""
-SELECT doc_id FROM ({SQL_TAG_PROPAGATION}) WHERE NOT list_contains(tags, 'src1')
+SQL_UNTAGGED_DOCS = """
+SELECT doc_id FROM (
+  SELECT doc_id, coalesce(t.tags, []::VARCHAR[]) AS tags
+  FROM documents d LEFT JOIN (
+    SELECT n_chars, list_sort(list_distinct(list(source))) AS tags
+    FROM documents WHERE doc_id % 20 = 0 GROUP BY n_chars
+  ) t USING (n_chars)
+) WHERE NOT list_contains(tags, 'src1')
 """
 
 
@@ -553,18 +571,22 @@ FROM documents
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """N-gram Jaccard near-dup scoring over same-length-block pairs —
-    the in-block expensive feature (Dedupe.java:104-113 analog)."""
+    the in-block expensive feature (Dedupe.java:104-113 analog).
+
+    Pairs come from operators.pairs.generate_pairs (the same skew-safe
+    path the ER pipeline uses): blocks above hot_threshold are split on
+    the upper-triangular salt grid, so one popular length never lands
+    its O(n²) work in a single shuffle partition. hot_threshold=64 is
+    deliberately low so the grid path is exercised even at sandbox SF;
+    the emitted pair set is provably identical to the naive self-join
+    (tests/test_pairs.py), so the DuckDB oracle is unchanged."""
     docs = load_table(spark, sf, "documents").select("doc_id", "n_chars", "text")
-    a = docs.alias("a")
-    b = docs.alias("b")
-    return (
-        a.join(b, "n_chars")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("id1"),
-            F.col("b.doc_id").alias("id2"),
-            F.round(token_jaccard_udf(F.col("a.text"), F.col("b.text")), 6).alias("jaccard3"),
-        )
+    keys = docs.select("doc_id", F.col("n_chars").cast("string").alias("block_key"))
+    pairs, _capped = generate_pairs(keys, hot_threshold=64, salt_buckets=8)
+    return attach_texts(pairs, docs).select(
+        "id1",
+        "id2",
+        F.round(token_jaccard_udf(F.col("text1"), F.col("text2")), 6).alias("jaccard3"),
     )
 
 
@@ -733,7 +755,7 @@ s AS (
                                 ROWS UNBOUNDED PRECEDING) AS session_idx
   FROM g
 )
-SELECT user_id, max(session_idx) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(max(session_idx) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM s GROUP BY user_id
 """
 
