@@ -35,6 +35,7 @@ HEADLINE = [
     "window_block_count",
     "ngram_jaccard_pairs",
     "ann_topk",
+    "embedding_near_dup_lsh",
     "cc_clusters",
     "minhash_lsh_pairs",
     "er_pipeline_clusters",
@@ -98,11 +99,18 @@ def main() -> None:
     if not os.path.exists(f"{corpus_dir}/_SUCCESS"):
         generate_pages(spark, n_pages, seed=42).write.mode("overwrite").parquet(corpus_dir)
     pages = spark.read.parquet(corpus_dir)
+    # fast_mode: commit only the resume-critical stages (s5_scored/
+    # s7/s8) — the production fast path; full-commit mode is separately
+    # exercised by tests and scripts/bench_scaling.py
+    from dedupe_spark.pipeline import PipelineConfig
+
+    cfg = PipelineConfig(fast_mode=True)
     t_pipe = float("inf")
     for _ in range(2):
         shutil.rmtree(work, ignore_errors=True)
+        spark.catalog.clearCache()  # drop fast_mode's ephemeral stages
         t0 = time.time()
-        out = run_pipeline(spark, pages, work)
+        out = run_pipeline(spark, pages, work, config=cfg)
         t_pipe = min(t_pipe, round(time.time() - t0, 3))
     n_pairs = out["s5_scored"].count()
     n_clusters = out["s8_report"].count()

@@ -167,6 +167,44 @@ def ivf_topk(
     )
 
 
+def lsh_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_tables: int = 8,
+    n_bits: int = 12,
+    hot_threshold: int = 1000,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """All-pairs embedding near-dup (id1, id2, cos_sim ≥ threshold) via
+    hyperplane-LSH buckets — the scale path that replaces the O(n²)
+    crossJoin: candidates are generated ONLY from bucket collisions,
+    and the bucket self-join is routed through
+    ``operators.pairs.generate_pairs``, so a hot bucket (e.g. the
+    all-zeros region) is grid-decomposed instead of landing its
+    quadratic work in one shuffle partition. Exact cosine refine on the
+    candidates. Recall is tunable via (n_tables, n_bits); verified
+    ≥0.9 vs brute force in tests."""
+    from dedupe_spark.operators.pairs import generate_pairs
+
+    v = vectors.select(F.col(id_col).alias("doc_id"), _as_double(vec_col).alias("v"))
+    bucket_udf = hyperplane_buckets_udf(dim, n_tables, n_bits)
+    keys = v.select("doc_id", F.explode(bucket_udf(F.col("v"))).alias("block_key"))
+    pairs, _capped = generate_pairs(
+        keys, hot_threshold=hot_threshold, salt_buckets=salt_buckets
+    )
+    v1 = v.select(F.col("doc_id").alias("id1"), F.col("v").alias("v1"))
+    v2 = v.select(F.col("doc_id").alias("id2"), F.col("v").alias("v2"))
+    return (
+        pairs.join(v1, "id1")
+        .join(v2, "id2")
+        .select("id1", "id2", cosine_expr(F.col("v1"), F.col("v2")).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,

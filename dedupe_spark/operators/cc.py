@@ -97,6 +97,7 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 50,
     driver_finish_edges: int = 2_000_000,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """edges(src, dst) → assignments(node, cluster_id).
 
@@ -111,9 +112,22 @@ def connected_components(
     connectivity, so the result is identical, and the O(log n) tail of
     tiny Spark rounds (each ~6 shuffles of near-empty data) is avoided.
     Set ``driver_finish_edges=0`` to force the fully distributed path.
+
+    Lineage truncation per round: ``localCheckpoint`` by default (fast;
+    executor-local blocks). For long multi-hour jobs on a real cluster,
+    pass ``reliable_checkpoint=True`` and set
+    ``spark.sparkContext.setCheckpointDir(<hdfs/s3 dir>)`` first —
+    a lost executor then re-reads the round's edge set from reliable
+    storage instead of failing the whole iteration chain.
     """
     spark = edges.sparkSession
-    cur = _canon(edges).localCheckpoint(eager=True)
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        if reliable_checkpoint:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    cur = _truncate(_canon(edges))
     fp = _fingerprint(cur)
     converged = False
     for _ in range(max_iter):
@@ -124,7 +138,7 @@ def connected_components(
             )
             out = pd.DataFrame(rows, columns=["node", "cluster_id"])
             return spark.createDataFrame(out, "node long, cluster_id long")
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        nxt = _truncate(_small_star(_large_star(cur)))
         nfp = _fingerprint(nxt)
         cur = nxt
         if nfp == fp:

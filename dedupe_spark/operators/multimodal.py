@@ -133,25 +133,33 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, decoder: str = "fake")
     )
 
 
-def near_duplicate_images(features: DataFrame, max_hamming: int = 4) -> DataFrame:
-    """Exact-phash blocking + in-block hamming refine: the ER blocking
-    pattern applied to image dedupe. Blocks on phash bands (4×16-bit),
-    so near-identical phashes collide; hamming check JVM-side via
-    bit_count(xor)."""
+def banded_hamming_pairs(
+    features: DataFrame,
+    hash_col: str,
+    id_col: str = "media_id",
+    max_hamming: int = 4,
+    n_bands: int = 4,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Generic banded-fingerprint near-dup join: block on n_bands
+    band_bits-wide slices of a 64-bit fingerprint (pigeonhole: any pair
+    within hamming < n_bands shares ≥1 exact band), then refine
+    JVM-side with bit_count(xor). The ER blocking pattern applied to
+    any perceptual hash — image phash, audio fingerprint, simhash."""
     banded = features.select(
-        "media_id",
-        "phash",
+        id_col,
+        hash_col,
         F.explode(
             F.array(
                 *[
                     F.concat_ws(
                         ":",
                         F.lit(f"b{b}"),
-                        F.shiftrightunsigned(F.col("phash"), b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col(hash_col), b * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
                         .cast("string"),
                     )
-                    for b in range(4)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("band"),
@@ -160,17 +168,25 @@ def near_duplicate_images(features: DataFrame, max_hamming: int = 4) -> DataFram
     b = banded.alias("b")
     return (
         a.join(b, "band")
-        .where(F.col("a.media_id") < F.col("b.media_id"))
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
-            F.col("a.media_id").alias("id1"),
-            F.col("b.media_id").alias("id2"),
+            F.col(f"a.{id_col}").alias("id1"),
+            F.col(f"b.{id_col}").alias("id2"),
             F.bit_count(
-                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+                F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
             ).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def near_duplicate_images(features: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """Exact-phash blocking + in-block hamming refine: the ER blocking
+    pattern applied to image dedupe. Blocks on phash bands (4×16-bit),
+    so near-identical phashes collide; hamming check JVM-side via
+    bit_count(xor)."""
+    return banded_hamming_pairs(features, "phash", max_hamming=max_hamming)
 
 
 def synthetic_media(spark, n: int, seed: int = 7) -> DataFrame:

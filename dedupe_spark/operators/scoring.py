@@ -12,9 +12,10 @@ Arrow-batched pandas UDFs evaluated ONLY on block-surviving pairs —
 the cheap-key-before-expensive-feature structure of the reference
 (Dedupe.java:67-79 → 104-113).
 
-Levenshtein cost is O(len1*len2): to bound worst-case compute on long
-documents, ``truncate_chars`` caps the compared prefix (default 512) —
-the remaining features use full text.
+Per-pair cost is bounded on long documents: Levenshtein (O(len1*len2))
+compares a ``truncate_chars`` prefix (default 256) and Jaro-Winkler a
+``jw_chars`` prefix (default 128); Jaccard/TF-cosine/length use full
+text (see ``pair_features``).
 """
 
 from __future__ import annotations

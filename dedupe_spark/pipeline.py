@@ -42,6 +42,18 @@ from dedupe_spark.operators.pairs import attach_texts, generate_pairs
 from dedupe_spark.sources.checkpoints import StageIO
 
 
+# Canonical stage order; valid --stop-after values (s8_report ≡ full run).
+STAGES = (
+    "s1_docs",
+    "s2_exact",
+    "s3_keys",
+    "s4_pairs",
+    "s5_scored",
+    "s7_clusters",
+    "s8_report",
+)
+
+
 @dataclass
 class PipelineConfig:
     n_bands: int = 32
@@ -59,6 +71,16 @@ class PipelineConfig:
     # on the planted corpus without them)
     use_ngrams: bool = False
     use_domain: bool = False
+    # fast_mode: materialize ONLY the expensive, resume-critical stages
+    # (s5_scored — "never recompute scored pairs", north_rule — plus
+    # s7_clusters and the tiny s8_report). s1-s4 are cheap recomputes
+    # relative to scoring and are kept in memory (MEMORY_AND_DISK) for
+    # the duration of the run instead of being committed to the stage
+    # store. This removes 4 full write+read round-trips of the largest
+    # intermediates per run — the fixed cost that dominated job-level
+    # scaling at sandbox SF. A resumed run still skips any stage a
+    # previous full-mode run committed.
+    fast_mode: bool = False
 
 
 def run_pipeline(
@@ -76,9 +98,18 @@ def run_pipeline(
     io = StageIO(spark, work_dir)
     out: dict[str, DataFrame] = {}
     skipped: dict[str, bool] = {}
+    ephemeral = {"s1_docs", "s2_exact", "s3_keys", "s4_pairs"} if cfg.fast_mode else set()
 
     def stage(name: str, build, lineage: str) -> DataFrame:
-        df, was_skipped = io.run_stage(name, build, lineage=lineage)
+        if name in ephemeral:
+            # fast_mode: reuse a prior full-mode commit if one exists,
+            # else keep the stage in memory — no stage-store round-trip.
+            if io.is_complete(name):
+                df, was_skipped = io.read(name), True
+            else:
+                df, was_skipped = build().persist(), False
+        else:
+            df, was_skipped = io.run_stage(name, build, lineage=lineage)
         out[name] = df
         skipped[name] = was_skipped
         return df
@@ -175,6 +206,9 @@ def run_pipeline(
         )
 
     clusters = stage("s7_clusters", build_clusters, "s5_scored")
+    if stop_after == "s7_clusters":
+        out["_skipped"] = skipped  # type: ignore[assignment]
+        return out
 
     stage(
         "s8_report",

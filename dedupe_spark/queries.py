@@ -675,12 +675,33 @@ FROM embeddings GROUP BY label
 """
 
 
+def q_embedding_near_dup_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucketed (the headline
+    scale path): hyperplane buckets → grid-skew-safe pair generation →
+    exact cosine refine. Rows-only for the driver; recall ≥0.9 vs the
+    brute-force twin is asserted in tests/test_ann.py."""
+    from dedupe_spark.operators.ann import lsh_near_dup_pairs
+
+    emb = load_table(spark, sf, "embeddings")
+    return lsh_near_dup_pairs(
+        emb, threshold=0.4, dim=64, n_tables=16, n_bits=8, hot_threshold=500
+    ).select("id1", "id2", F.round("cos_sim", 6).alias("cos_sim"))
+
+
 def q_embedding_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (brute-force, oracle-
-    checked; the LSH-bucketed scale path is ann_lsh_topk)."""
+    """Embedding-cosine near-duplicate pairs — BRUTE-FORCE ORACLE TWIN
+    of ``embedding_near_dup_lsh``, kept oracle-checked for correctness
+    evidence. O(n²) by construction: guarded by a hard input cap so the
+    demonstration query cannot be pointed at a large table (the scale
+    path is ``embedding_near_dup_lsh``)."""
     emb = load_table(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    n = emb.count()
+    if n > 50_000:  # ~1.25e9 candidate pairs — refuse, use the LSH path
+        raise ValueError(
+            f"brute-force near-dup refused at n={n}; use embedding_near_dup_lsh"
+        )
     a = emb.select(F.col("vec_id").alias("id1"), F.col("v").alias("v1"))
     b = emb.select(F.col("vec_id").alias("id2"), F.col("v").alias("v2"))
     return (
@@ -897,6 +918,19 @@ def q_image_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     return near_duplicate_images(image_features(media), max_hamming=0)
 
 
+def q_audio_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal: banded audio-fingerprint near-dup pairs over the
+    deterministic synthetic audio table (fake codec, real plumbing —
+    same pattern as image_near_dups)."""
+    from dedupe_spark.operators.audio import (
+        audio_features,
+        near_duplicate_audio,
+        synthetic_audio,
+    )
+
+    return near_duplicate_audio(audio_features(synthetic_audio(spark, 300)), max_hamming=0)
+
+
 def q_er_pipeline_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Flagship: the full ER chain (exact collapse → LSH blocking →
     skew-split pairs → features → logistic scores → CC) over the
@@ -968,7 +1002,9 @@ QUERIES: dict[str, QueryFn] = {
     "simhash_pairs": q_simhash_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "image_near_dups": q_image_near_dups,
+    "audio_near_dups": q_audio_near_dups,
     "er_pipeline_clusters": q_er_pipeline_clusters,
 }
 

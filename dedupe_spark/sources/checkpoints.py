@@ -92,7 +92,9 @@ class StageIO:
                 "status": "complete",
                 "lineage": lineage,
             }
-            for i, f in enumerate(sorted(glob.glob(os.path.join(out, "part-*.parquet"))))
+            for i, f in enumerate(
+                sorted(glob.glob(os.path.join(out, "**", "part-*.parquet"), recursive=True))
+            )
         ] or [
             {
                 "stage": stage,
@@ -189,6 +191,47 @@ class StageIO:
 
         shutil.rmtree(tmp, ignore_errors=True)
         return result
+
+    def delete(self, keys: DataFrame | list, stage: str, key: str) -> DataFrame:
+        """Delete-by-key sink (reference S7, Dedupe.java:185-196: ids
+        vanished from the filesystem are deleted from the index).
+
+        ``keys`` is either a one-column DataFrame of key values or a
+        plain list. Parquet spelling of Iceberg's ``DELETE FROM t WHERE
+        key IN (...)`` — an anti-join + atomic rewrite, same commit
+        protocol as :meth:`upsert`."""
+        if not self.is_complete(stage):
+            raise FileNotFoundError(f"stage {stage!r} has no completed checkpoint")
+        existing = self.read(stage)
+        if isinstance(keys, list):
+            from pyspark.sql.types import StructField, StructType
+
+            key_type = existing.schema[key].dataType
+            keys_df = self.spark.createDataFrame(
+                [(k,) for k in keys], StructType([StructField(key, key_type)])
+            )
+        else:
+            keys_df = keys.select(key)
+        remaining = existing.join(keys_df.distinct(), key, "left_anti")
+        tmp = self.stage_dir(stage) + "__delete_tmp"
+        remaining.write.mode("overwrite").parquet(tmp)
+        self.reset(stage)
+        staged = self.spark.read.parquet(tmp)
+        result = self.write(staged, stage, lineage=f"delete:{key}")
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        return result
+
+    def refresh_tombstones(self, current: DataFrame, stage: str, key: str) -> DataFrame:
+        """I4 tombstone refresh (Dedupe.java:109-112): rows in the stage
+        table whose ``key`` no longer appears in ``current`` (the live
+        input) are deleted — a re-crawl drops pages that vanished."""
+        existing = self.read(stage)
+        vanished = existing.select(key).join(
+            current.select(key).distinct(), key, "left_anti"
+        )
+        return self.delete(vanished, stage, key)
 
     def checkpoints(self) -> DataFrame:
         return self.spark.read.parquet(self.checkpoints_dir())

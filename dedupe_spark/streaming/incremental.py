@@ -89,6 +89,26 @@ def page_rate(
     )
 
 
+def _read_keys_if_exists(spark: SparkSession, keys_dir: str) -> DataFrame | None:
+    """Read the key index, or None iff the path does not exist yet.
+
+    Only the missing-path case is swallowed (first batch ever); a
+    corrupt footer, permission error, or any other read failure
+    propagates — silently skipping the anti-join would re-admit
+    already-seen keys and break the one-representative invariant."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.option("basePath", keys_dir).parquet(keys_dir)
+        df.schema  # force schema resolution now, inside the try
+        return df
+    except AnalysisException as e:
+        cond = e.getCondition() or ""
+        if "PATH_NOT_FOUND" in cond or "UNABLE_TO_INFER_SCHEMA" in cond:
+            return None
+        raise
+
+
 def run_incremental_exact_dedupe(
     spark: SparkSession,
     input_dir: str,
@@ -97,25 +117,48 @@ def run_incremental_exact_dedupe(
     watermark: str = "10 minutes",
 ) -> None:
     """Drain the pages dir (availableNow), append first-seen content to
-    ``store_dir``. Restart-safe: the stream checkpoint replays nothing,
-    and the anti-join against the store makes re-delivery idempotent —
-    the reference's queue-consume-delete cycle (Dedupe.java:117-133)
-    with the queue replaced by source offsets."""
+    ``store_dir``. The reference's queue-consume-delete cycle
+    (Dedupe.java:117-133) with the queue replaced by source offsets.
+
+    Scale + restart design:
+
+    * **Key index, not full-store scan.** The anti-join reads
+      ``<store>_keys`` — a one-column (plus batch partition) parquet
+      index — instead of re-scanning the whole store every micro-batch.
+      At 10^12 pages the store carries urls/timestamps/payload columns;
+      the index is just the 32-byte keys, so per-batch read cost is
+      ~keys-only columnar IO and the seen-set never rides the stream
+      state (unbounded keys stay on disk, not in memory).
+    * **Replay idempotence by overwrite, not append.** Each batch
+      writes to ``batch=<id>`` subdirectories with overwrite mode — a
+      crash between commit points makes the retried batch overwrite its
+      own partial output instead of double-appending. The anti-join
+      excludes the current batch's own partition so a replay can't
+      filter against its failed first attempt."""
     deduped = dedup_within_watermark(stream_pages(spark, input_dir), watermark)
+    keys_dir = store_dir + "_keys"
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         out = batch.select("url", "warc_ts", "content_md5", "lang")
-        try:
-            existing = spark.read.parquet(store_dir).select("content_md5").distinct()
-            out = out.join(existing, "content_md5", "left_anti")
-        except Exception:
-            pass  # first batch: store doesn't exist yet
+        existing = _read_keys_if_exists(spark, keys_dir)
+        if existing is not None:
+            prior = (
+                existing.where(F.col("batch") != batch_id)
+                .select("content_md5")
+                .distinct()
+            )
+            out = out.join(prior, "content_md5", "left_anti")
         # within-batch dedup: one representative per key
         out = out.withColumn(
             "rn",
             F.row_number().over(Window.partitionBy("content_md5").orderBy("url")),
         ).where(F.col("rn") == 1).drop("rn")
-        out.write.mode("append").parquet(store_dir)
+        out.persist()
+        out.write.mode("overwrite").parquet(f"{store_dir}/batch={batch_id}")
+        out.select("content_md5").write.mode("overwrite").parquet(
+            f"{keys_dir}/batch={batch_id}"
+        )
+        out.unpersist()
 
     (
         deduped.writeStream.foreachBatch(sink)

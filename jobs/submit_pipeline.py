@@ -39,12 +39,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--hot-threshold", type=int, default=1000)
     p.add_argument("--salt-buckets", type=int, default=16)
     p.add_argument("--threshold", type=float, default=0.5)
-    p.add_argument("--stop-after", default=None)
+    p.add_argument("--fast-mode", action="store_true",
+                   help="materialize only s5_scored/s7/s8 (fewer stage commits)")
+    p.add_argument("--report-csv", default=None,
+                   help="also write the s8 cluster report as ONE csv file here")
+
+    from dedupe_spark.pipeline import STAGES, PipelineConfig, run_pipeline
+
+    p.add_argument("--stop-after", default=None, choices=list(STAGES))
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
-
-    from dedupe_spark.pipeline import PipelineConfig, run_pipeline
 
     spark = SparkSession.builder.appName("dedupe_spark_pipeline").getOrCreate()
     pages = spark.read.parquet(args.input)
@@ -53,6 +58,7 @@ def main(argv: list[str] | None = None) -> int:
         hot_threshold=args.hot_threshold,
         salt_buckets=args.salt_buckets,
         threshold=args.threshold,
+        fast_mode=args.fast_mode,
     )
     t0 = time.time()
     out = run_pipeline(spark, pages, args.work_dir, config=cfg, stop_after=args.stop_after)
@@ -63,7 +69,14 @@ def main(argv: list[str] | None = None) -> int:
     }
     if "s7_clusters" in out:
         stats["n_docs"] = out["s7_clusters"].count()
+    if "s8_report" in out:
         stats["n_dup_clusters"] = out["s8_report"].count()
+        if args.report_csv:
+            from dedupe_spark.sources.report import write_csv_report
+
+            stats["report_csv"] = write_csv_report(
+                out["s8_report"], args.report_csv, order_by=["cluster_id"]
+            )
     print(json.dumps(stats))
     return 0
 

@@ -89,3 +89,44 @@ def test_lsh_candidates_scored_exactly(vectors):
     }
     for r in lsh_topk(df, queries, k=5, dim=16).collect():
         assert r["cos_sim"] == pytest.approx(exact[r["neighbor_id"]], rel=1e-12)
+
+
+def test_lsh_near_dup_pairs_recall(vectors):
+    """The LSH-bucketed all-pairs near-dup path must recover ≥0.9 of
+    the brute-force pairs at the same threshold, with exact cosines."""
+    from dedupe_spark.operators.ann import lsh_near_dup_pairs
+
+    df, rows = vectors
+    X = np.array([r[1] for r in rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    want = {
+        (i, j): S[i, j]
+        for i in range(len(rows))
+        for j in range(i + 1, len(rows))
+        if S[i, j] >= 0.9
+    }
+    got = {
+        (r["id1"], r["id2"]): r["cos_sim"]
+        for r in lsh_near_dup_pairs(
+            df, threshold=0.9, dim=16, n_tables=12, n_bits=8
+        ).collect()
+    }
+    assert want, "fixture must plant near-dup pairs"
+    recall = len(set(want) & set(got)) / len(want)
+    assert recall >= 0.9, f"near-dup recall {recall:.2f}"
+    # no false positives below threshold, and cosines are exact
+    for k, v in got.items():
+        assert v >= 0.9
+        assert v == pytest.approx(S[k[0], k[1]], rel=1e-12)
+
+
+def test_lsh_near_dup_no_cartesian(vectors):
+    from dedupe_spark.operators.ann import lsh_near_dup_pairs
+
+    df, _ = vectors
+    plan = (
+        lsh_near_dup_pairs(df, threshold=0.9, dim=16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan

@@ -107,3 +107,21 @@ def test_cc_nonconvergence_raises(spark):
 def test_cc_empty_edges(spark):
     df = spark.createDataFrame([], "src long, dst long")
     assert connected_components(df).count() == 0
+
+
+def test_reliable_checkpoint_path(spark, tmp_path):
+    """reliable_checkpoint=True must produce identical assignments via
+    df.checkpoint into the configured checkpoint dir."""
+    from dedupe_spark.operators.cc import connected_components
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 13), (20, 21)],
+        "src long, dst long",
+    )
+    a = connected_components(edges, driver_finish_edges=0)
+    b = connected_components(edges, driver_finish_edges=0, reliable_checkpoint=True)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    import os
+
+    assert os.listdir(str(tmp_path / "ckpt")), "no reliable checkpoint written"

@@ -44,3 +44,55 @@ def test_rows_in_recorded(spark, io):
     child_rows = ck.where(F.col("stage") == "child").collect()
     assert all(r["rows_in"] == 10 for r in child_rows)
     assert sum(r["rows_out"] for r in child_rows) == 5
+
+
+def test_delete_by_key_list(spark, io):
+    io.run_stage("t", lambda: _df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    io.delete([1, 3], "t", "id")
+    got = {(r["id"], r["v"]) for r in io.read("t").collect()}
+    assert got == {(2, "b")}
+    # delete sink commits through the same protocol: marker + lineage row
+    assert io.is_complete("t")
+    ck = io.checkpoints().where(F.col("lineage") == "delete:id")
+    assert ck.count() >= 1
+
+
+def test_delete_by_key_dataframe(spark, io):
+    io.run_stage("t", lambda: _df(spark, [(i, "x") for i in range(6)]))
+    io.delete(spark.range(3).select(F.col("id")), "t", "id")
+    assert {r["id"] for r in io.read("t").collect()} == {3, 4, 5}
+
+
+def test_delete_requires_completed_stage(spark, io):
+    with pytest.raises(FileNotFoundError):
+        io.delete([1], "missing_stage", "id")
+
+
+def test_tombstone_refresh_removes_vanished_rows(spark, io):
+    """I4 (Dedupe.java:109-112): a re-crawl whose input no longer
+    contains some ids deletes those rows from the stage table, and a
+    subsequent resume sees the tombstoned state."""
+    io.run_stage("docs", lambda: _df(spark, [(1, "a"), (2, "b"), (3, "c"), (4, "d")]))
+    current = _df(spark, [(2, "b"), (4, "d"), (9, "new")])  # 1 and 3 vanished
+    io.refresh_tombstones(current, "docs", "id")
+    assert {r["id"] for r in io.read("docs").collect()} == {2, 4}
+    # resume path: run_stage skips (stage still complete) and reads the
+    # tombstoned table, not a recompute
+    df, was_skipped = io.run_stage("docs", lambda: (_ for _ in ()).throw(AssertionError))
+    assert was_skipped and {r["id"] for r in df.collect()} == {2, 4}
+
+
+def test_lineage_counts_partitioned_writes(spark, io, tmp_path):
+    """Counter glob must be recursive: partitionBy writes nest files."""
+    df = _df(spark, [(i, "even" if i % 2 == 0 else "odd") for i in range(8)])
+    out = io.stage_dir("parted")
+    df.write.mode("overwrite").partitionBy("v").parquet(out)
+    import glob as _g
+    import os as _os
+
+    files = _g.glob(_os.path.join(out, "**", "part-*.parquet"), recursive=True)
+    assert files, "partitioned write produced no nested part files?"
+    # exercise the same recursive pattern StageIO.write uses
+    import pyarrow.parquet as _pq
+
+    assert sum(_pq.read_metadata(f).num_rows for f in files) == 8

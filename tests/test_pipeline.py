@@ -143,3 +143,67 @@ def test_lineage_counters_written(spark, corpus, pipe):
         ckpt.where(F.col("stage") == "s1_docs").agg(F.sum("rows_out")).collect()[0][0]
     )
     assert s1_total == out["s1_docs"].count()
+
+
+def test_fast_mode_same_clusters_fewer_commits(spark, corpus, tmp_path):
+    """fast_mode must produce identical clusters while committing only
+    s5_scored/s7_clusters/s8_report to the stage store."""
+    import os
+
+    work = str(tmp_path / "fast")
+    cfg = PipelineConfig(fast_mode=True)
+    out = run_pipeline(spark, corpus, work, config=cfg)
+    full = run_pipeline(spark, corpus, str(tmp_path / "full"))
+    a = {(r["doc_id"], r["cluster_id"]) for r in out["s7_clusters"].collect()}
+    b = {(r["doc_id"], r["cluster_id"]) for r in full["s7_clusters"].collect()}
+    assert a == b
+    committed = {f for f in os.listdir(work) if f.startswith("_checkpoint_")}
+    assert committed == {
+        "_checkpoint_s5_scored.json",
+        "_checkpoint_s7_clusters.json",
+        "_checkpoint_s8_report.json",
+    }
+    # resume in fast mode: the scored-pairs invariant still holds
+    again = run_pipeline(spark, corpus, work, config=cfg)
+    assert again["_skipped"]["s5_scored"]
+
+
+def test_fast_mode_reuses_full_mode_commits(spark, corpus, tmp_path):
+    """A fast_mode rerun over a full-mode work_dir reads the committed
+    ephemeral stages instead of recomputing them."""
+    work = str(tmp_path / "mixed")
+    run_pipeline(spark, corpus, work, stop_after="s3_keys")
+    out = run_pipeline(spark, corpus, work, config=PipelineConfig(fast_mode=True))
+    assert all(out["_skipped"][s] for s in ["s1_docs", "s2_exact", "s3_keys"])
+    assert not out["_skipped"]["s5_scored"]
+
+
+def test_stop_after_s7_skips_report(spark, corpus, tmp_path):
+    out = run_pipeline(spark, corpus, str(tmp_path / "s7"), stop_after="s7_clusters")
+    assert "s7_clusters" in out and "s8_report" not in out
+
+
+def test_csv_report_sink(spark, corpus, tmp_path):
+    """S9 (DedupeJarTest.java:47-103): the cluster report lands as ONE
+    csv file with a header, sorted, parseable."""
+    import csv
+
+    from dedupe_spark.sources.report import write_csv_report
+
+    out = run_pipeline(spark, corpus, str(tmp_path / "rep"))
+    path = str(tmp_path / "report.csv")
+    write_csv_report(out["s8_report"], path, order_by=["cluster_id"])
+    with open(path) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == out["s8_report"].count()
+    assert set(rows[0].keys()) == {"cluster_id", "members"}
+    assert all(int(r["members"]) >= 2 for r in rows)
+    ids = [int(r["cluster_id"]) for r in rows]
+    assert ids == sorted(ids)
+
+
+def test_csv_report_sink_max_rows_guard(spark, tmp_path):
+    from dedupe_spark.sources.report import write_csv_report
+
+    with pytest.raises(ValueError):
+        write_csv_report(spark.range(100), str(tmp_path / "r.csv"), max_rows=10)

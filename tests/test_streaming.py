@@ -98,3 +98,27 @@ def test_page_rate_window_counts(spark, paged_input):
     assert len(got_map) > 0
     for k, v in got_map.items():
         assert want[k] == v
+
+
+def test_incremental_dedupe_corrupt_key_index_fails_loudly(spark, paged_input, tmp_path):
+    """A broken key index must raise, never silently skip the anti-join
+    (silent skip would re-admit already-seen content keys)."""
+    input_dir, _, _ = paged_input
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    run_incremental_exact_dedupe(spark, input_dir, store, ckpt)
+    # corrupt the key index: replace a part file with garbage bytes
+    import glob
+    import os
+
+    part = glob.glob(os.path.join(store + "_keys", "batch=*", "part-*.parquet"))[0]
+    with open(part, "wb") as f:
+        f.write(b"this is not parquet")
+    with pytest.raises(Exception):
+        run_incremental_exact_dedupe(spark, input_dir, store, str(tmp_path / "ckpt2"))
+
+
+def test_read_keys_missing_path_returns_none(spark, tmp_path):
+    from dedupe_spark.streaming.incremental import _read_keys_if_exists
+
+    assert _read_keys_if_exists(spark, str(tmp_path / "nope")) is None
