@@ -191,7 +191,12 @@ def lsh_near_dup_pairs(
 
     v = vectors.select(F.col(id_col).alias("doc_id"), _as_double(vec_col).alias("v"))
     bucket_udf = hyperplane_buckets_udf(dim, n_tables, n_bits)
-    keys = v.select("doc_id", F.explode(bucket_udf(F.col("v"))).alias("block_key"))
+    # persist the compact (id, bucket) table: generate_pairs consumes it
+    # from several plan branches (sizes agg, cold join, hot grid), and
+    # without a persist each branch would re-run the sketch UDF scan
+    keys = v.select(
+        "doc_id", F.explode(bucket_udf(F.col("v"))).alias("block_key")
+    ).persist()
     pairs, _capped = generate_pairs(
         keys, hot_threshold=hot_threshold, salt_buckets=salt_buckets
     )

@@ -463,6 +463,34 @@ FROM documents d LEFT JOIN (
 """
 
 
+def q_url_host_facet(spark: SparkSession, sf: str) -> DataFrame:
+    """X4 (Dedupe.java:142-149 path→id mapping; SURVEY §2.8 url parse):
+    reconstruct a deterministic url per doc, extract its HOST with the
+    built-in parse_url (JVM-side), facet by host. The oracle builds the
+    host directly from the same fields, so the hash compare verifies
+    parse_url's extraction exactly."""
+    docs = load_table(spark, sf, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return (
+        docs.select(F.parse_url(url, F.lit("HOST")).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+SQL_URL_HOST_FACET = """
+SELECT source || '.example.com' AS host, count(*) AS n_docs
+FROM documents GROUP BY host
+"""
+
+
 def q_untagged_docs(spark: SparkSession, sf: str) -> DataFrame:
     """F8 + A2 (DedupeJar.java:67-72,385-411): array non-membership —
     the 'jars without tag' report over the propagated tags."""
@@ -982,6 +1010,7 @@ QUERIES: dict[str, QueryFn] = {
     "window_block_count": q_window_block_count,
     "tag_propagation": q_tag_propagation,
     "untagged_docs": q_untagged_docs,
+    "url_host_facet": q_url_host_facet,
     "topk_longest_docs": q_topk_longest_docs,
     "report_sort_brands": q_report_sort_brands,
     "except_sources": q_except_sources,
@@ -1029,6 +1058,7 @@ ORACLES: dict[str, str] = {
     "window_block_count": SQL_WINDOW_BLOCK_COUNT,
     "tag_propagation": SQL_TAG_PROPAGATION,
     "untagged_docs": SQL_UNTAGGED_DOCS,
+    "url_host_facet": SQL_URL_HOST_FACET,
     "topk_longest_docs": SQL_TOPK_LONGEST_DOCS,
     "report_sort_brands": SQL_REPORT_SORT_BRANDS,
     "except_sources": SQL_EXCEPT_SOURCES,
@@ -1045,7 +1075,11 @@ ORACLES: dict[str, str] = {
     "user_sessions": SQL_USER_SESSIONS,
     "cc_clusters": SQL_CC_CLUSTERS,
     "cluster_size_histogram": SQL_CLUSTER_SIZE_HISTOGRAM,
-    # minhash_lsh_pairs / simhash_pairs / er_pipeline_clusters:
-    # sketch-based, not ANSI-SQL-expressible → rows-only driver check;
-    # Python oracles in tests/test_hashing.py & tests/test_pipeline.py.
+    # Rows-only (no ANSI-SQL oracle, Python oracles in pytest instead):
+    # minhash_lsh_pairs / simhash_pairs (sketches — test_hashing.py),
+    # ann_lsh_topk / ann_ivf_topk / embedding_near_dup_lsh (approximate
+    # by design — recall-vs-brute-force tests in test_ann.py),
+    # image_near_dups / audio_near_dups (fake-codec fingerprints —
+    # planted-dup tests), er_pipeline_clusters (full ER chain — F1
+    # tests in test_pipeline.py).
 }

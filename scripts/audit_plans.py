@@ -30,6 +30,11 @@ EXPECTATIONS = {
     "running_value_per_user": (["Window", "PushedFilters: [IsNotNull(user_id), LessThan(user_id,50)"], []),
     "rollup_orders": (["Expand", "HashAggregate"], []),
     "ann_topk": (["BroadcastNestedLoopJoin"], ["CartesianProduct"]),
+    # scale paths must be bucketed equi-joins, never cross products
+    "embedding_near_dup_lsh": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    "audio_near_dups": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    "image_near_dups": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    "ngram_jaccard_pairs": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
 }
 
 
