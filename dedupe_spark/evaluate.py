@@ -80,3 +80,180 @@ def pairwise_f1(labeled: DataFrame, clusters: DataFrame) -> dict[str, float]:
         "fn": fn,
         "n_labeled_pairs": int(agg["n"]),
     }
+
+
+def cluster_exactness(clusters: DataFrame, truth: DataFrame) -> dict[str, int]:
+    """Linear-cost perfect-clustering check (for corpora whose hot
+    blocks make the pairwise-labeled set quadratic: a 20k-copy
+    boilerplate block alone yields ~2×10^8 labeled pairs).
+
+    Returns counts of violations:
+      * ``split_truth_clusters`` — planted dup clusters spread over >1
+        predicted cluster (each such split implies ≥1 FN pair);
+      * ``impure_pred_clusters`` — predicted clusters mixing >1 truth
+        key (each implies ≥1 FP pair).
+
+    Both zero ⇔ predicted-same-cluster coincides exactly with
+    truth-same-cluster on every pair of docs (singletons carry unique
+    truth keys), hence pairwise precision = recall = F1 = 1.0 over ANY
+    labeled subset — the BASELINE.json metric — without materializing
+    a single pair. Any nonzero count ⇒ F1 < 1.0; fall back to
+    ``pairwise_f1`` on a capped corpus to quantify."""
+    j = clusters.join(truth, "doc_id")
+    split = (
+        j.where(~F.col("truth_key").startswith("single:"))
+        .groupBy("truth_key")
+        .agg(F.countDistinct("cluster_id").alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+    )
+    impure = (
+        j.groupBy("cluster_id")
+        .agg(F.countDistinct("truth_key").alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+    )
+    return {"split_truth_clusters": split, "impure_pred_clusters": impure}
+
+
+def pairwise_f1_scalable(
+    exact: DataFrame,
+    rep_keys: DataFrame,
+    truth: DataFrame,
+    clusters: DataFrame,
+) -> dict[str, float]:
+    """EXACT pairwise F1 on labeled same-block pairs at near-linear
+    cost — the hot-block-safe evaluator.
+
+    ``pairwise_f1`` materializes every labeled pair; a 20k-copy
+    boilerplate block alone is C(20k,2) ≈ 2×10^8 pairs, which is
+    quadratic evaluation cost for a pipeline that is itself linear on
+    that block (exact collapse). This computes the identical counts by
+    decomposition; every labeled pair falls in exactly one family:
+
+    * **md5 family** (pairs sharing the content-md5 key, i.e. same
+      bytes): per md5 group, if truth and predicted cluster are both
+      uniform, the group contributes C(n,2) TPs — counted
+      analytically. Non-uniform groups (hash collisions / pipeline
+      bugs) are materialized pairwise (rare by construction).
+    * **sketch family** (pairs sharing a representative sketch key but
+      differing in md5): generated at REPRESENTATIVE level — two reps
+      r1, r2 sharing a block contribute n1×n2 doc pairs, all with the
+      same (is_match, pred) status because md5 groups are truth- and
+      cluster-uniform (checked above) — so counts expand by n1×n2
+      without materializing doc pairs.
+
+    Returns the same dict as ``pairwise_f1`` (plus
+    ``mixed_md5_groups``), and equals it exactly when md5 groups are
+    uniform — asserted in tests on corpora where both are computable.
+    """
+    j = (
+        exact.select("doc_id", "content_md5", "rep_id")
+        .join(truth, "doc_id")
+        .join(clusters, "doc_id")
+    )
+    g = j.groupBy("content_md5").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("truth_key").alias("nd_truth"),
+        F.countDistinct("cluster_id").alias("nd_cluster"),
+        F.first("truth_key").alias("tk"),
+        F.first("cluster_id").alias("cid"),
+        F.first("rep_id").alias("rep_id"),
+    )
+    uniform = g.where((F.col("nd_truth") == 1) & (F.col("nd_cluster") == 1))
+    mixed = g.where((F.col("nd_truth") > 1) | (F.col("nd_cluster") > 1))
+    n_mixed = mixed.count()
+
+    # md5 family, uniform groups: same md5 ⇒ same truth text ⇒ match
+    # unless the (unique-per-doc) singleton key, which can't repeat.
+    md5_tp = int(
+        uniform.where(F.col("n") >= 2)
+        .agg(F.coalesce(F.sum(F.col("n") * (F.col("n") - 1) / 2), F.lit(0)))
+        .collect()[0][0]
+    )
+
+    # mixed md5 groups (rare): exact pairwise fallback within them
+    fb_tp = fb_fp = fb_fn = 0
+    if n_mixed:
+        docs_mixed = j.join(mixed.select("content_md5"), "content_md5")
+        a = docs_mixed.alias("a")
+        b = docs_mixed.alias("b")
+        pairs = (
+            a.join(b, "content_md5")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                (
+                    (F.col("a.truth_key") == F.col("b.truth_key"))
+                    & ~F.col("a.truth_key").startswith("single:")
+                ).alias("is_match"),
+                (F.col("a.cluster_id") == F.col("b.cluster_id")).alias("pred"),
+            )
+        )
+        r = pairs.agg(
+            F.sum(F.when(F.col("pred") & F.col("is_match"), 1).otherwise(0)).alias("tp"),
+            F.sum(F.when(F.col("pred") & ~F.col("is_match"), 1).otherwise(0)).alias("fp"),
+            F.sum(F.when(~F.col("pred") & F.col("is_match"), 1).otherwise(0)).alias("fn"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        fb_tp, fb_fp, fb_fn = int(r["tp"] or 0), int(r["fp"] or 0), int(r["fn"] or 0)
+        fb_n = int(r["n"] or 0)
+    else:
+        fb_n = 0
+
+    # sketch family at rep level (only uniform groups expand; mixed md5
+    # groups' cross-block pairs are negligible and counted pessimistically
+    # nowhere — n_mixed is reported so a nonzero value flags the gap)
+    reps = uniform.select(
+        F.col("rep_id").alias("rid"), "n", "tk", "cid", "content_md5"
+    )
+    rk = rep_keys.select(F.col("doc_id").alias("rid"), "block_key")
+    a = rk.alias("a")
+    b = rk.alias("b")
+    rep_pairs = (
+        a.join(b, "block_key")
+        .where(F.col("a.rid") < F.col("b.rid"))
+        .select(F.col("a.rid").alias("r1"), F.col("b.rid").alias("r2"))
+        .distinct()
+    )
+    i1 = reps.select(
+        F.col("rid").alias("r1"), F.col("n").alias("n1"), F.col("tk").alias("tk1"),
+        F.col("cid").alias("c1"), F.col("content_md5").alias("m1"),
+    )
+    i2 = reps.select(
+        F.col("rid").alias("r2"), F.col("n").alias("n2"), F.col("tk").alias("tk2"),
+        F.col("cid").alias("c2"), F.col("content_md5").alias("m2"),
+    )
+    weighted = (
+        rep_pairs.join(i1, "r1")
+        .join(i2, "r2")
+        .where(F.col("m1") != F.col("m2"))  # md5 family owns equal-md5 pairs
+        .select(
+            (F.col("n1") * F.col("n2")).cast("long").alias("w"),
+            (
+                (F.col("tk1") == F.col("tk2")) & ~F.col("tk1").startswith("single:")
+            ).alias("is_match"),
+            (F.col("c1") == F.col("c2")).alias("pred"),
+        )
+    )
+    r = weighted.agg(
+        F.sum(F.when(F.col("pred") & F.col("is_match"), F.col("w")).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("pred") & ~F.col("is_match"), F.col("w")).otherwise(0)).alias("fp"),
+        F.sum(F.when(~F.col("pred") & F.col("is_match"), F.col("w")).otherwise(0)).alias("fn"),
+        F.coalesce(F.sum("w"), F.lit(0)).alias("n_pairs"),
+    ).collect()[0]
+    tp = md5_tp + fb_tp + int(r["tp"] or 0)
+    fp = fb_fp + int(r["fp"] or 0)
+    fn = fb_fn + int(r["fn"] or 0)
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+        "tp": tp,
+        "fp": fp,
+        "fn": fn,
+        "n_labeled_pairs": md5_tp + fb_n + int(r["n_pairs"] or 0),
+        "mixed_md5_groups": n_mixed,
+    }

@@ -30,6 +30,21 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# BPE-ish pre-tokenizer pattern (GPT-2-style, simplified): contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs.
+# Alternation + character classes only — identical semantics in Java
+# regex (Spark) and RE2 (DuckDB), so the oracle matches exactly.
+SUBWORD_RE = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+
+
+def subword_token_count(text: Column) -> Column:
+    """Approximate LLM token count: number of BPE-ish pre-tokens (the
+    merge step only splits these further, so this lower-bounds and
+    tracks real BPE counts; whitespace itself is never a token).
+    JVM-side regexp_count — no Python, codegen-friendly."""
+    return F.regexp_count(text, F.lit(SUBWORD_RE))
+
+
 def word_shingles(text: Column, width: int = 3) -> Column:
     """Array of word w-shingles (strings), JVM-side via transform/slice."""
     toks = tokens(text)

@@ -524,6 +524,26 @@ def q_token_counts(spark: SparkSession, sf: str) -> DataFrame:
 SQL_TOKEN_COUNTS = f"SELECT doc_id, len({_DUCK_TOKS}) AS n_tokens FROM documents"
 
 
+def q_subword_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-ish subword token counting (task brief: "token counting
+    (whitespace + a BPE-ish regex)") — JVM regexp_count, oracle via
+    DuckDB regexp_extract_all on the identical RE2-safe pattern."""
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id", TX.subword_token_count(F.col("text")).alias("n_subwords")
+    )
+
+
+# Oracle literal built from the same SUBWORD_RE (apostrophes doubled
+# for SQL); Java regex and RE2 agree on this alternation/class-only
+# pattern — the hash compare verifies it.
+SQL_SUBWORD_TOKEN_COUNTS = (
+    "SELECT doc_id, len(regexp_extract_all(text, "
+    + "'" + TX.SUBWORD_RE.replace("'", "''") + "'"
+    + ")) AS n_subwords FROM documents"
+)
+
+
 def q_stopword_ratio(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     return docs.select(
@@ -1015,6 +1035,7 @@ QUERIES: dict[str, QueryFn] = {
     "report_sort_brands": q_report_sort_brands,
     "except_sources": q_except_sources,
     "token_counts": q_token_counts,
+    "subword_token_counts": q_subword_token_counts,
     "stopword_ratio": q_stopword_ratio,
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
@@ -1063,6 +1084,7 @@ ORACLES: dict[str, str] = {
     "report_sort_brands": SQL_REPORT_SORT_BRANDS,
     "except_sources": SQL_EXCEPT_SOURCES,
     "token_counts": SQL_TOKEN_COUNTS,
+    "subword_token_counts": SQL_SUBWORD_TOKEN_COUNTS,
     "stopword_ratio": SQL_STOPWORD_RATIO,
     "quality_scores": SQL_QUALITY_SCORES,
     "lang_id": SQL_LANG_ID,

@@ -53,10 +53,20 @@ def main() -> None:
     t_pipe = time.time() - t0
 
     truth = pages.select(F.xxhash64("url").alias("doc_id"), "truth_key")
-    labeled = evaluate.labeled_same_block_pairs(
-        evaluate.doc_level_keys(out["s2_exact"], out["s3_keys"]), truth
-    )
-    m = evaluate.pairwise_f1(labeled, out["s7_clusters"])
+    # The labeled-pair set is quadratic in the hot-block size (a 20k-copy
+    # boilerplate block alone is ~2e8 pairs → >50 GB of shuffle); above
+    # the cap, use the linear exactness check, which implies pairwise
+    # F1 = 1.0 when both violation counts are zero (evaluate.py).
+    if "--pairwise-dense" in sys.argv:
+        labeled = evaluate.labeled_same_block_pairs(
+            evaluate.doc_level_keys(out["s2_exact"], out["s3_keys"]), truth
+        )
+        m = evaluate.pairwise_f1(labeled, out["s7_clusters"])
+    else:
+        m = evaluate.pairwise_f1_scalable(
+            out["s2_exact"], out["s3_keys"], truth, out["s7_clusters"]
+        )
+        m.update(evaluate.cluster_exactness(out["s7_clusters"], truth))
     print(
         json.dumps(
             {

@@ -207,3 +207,65 @@ def test_csv_report_sink_max_rows_guard(spark, tmp_path):
 
     with pytest.raises(ValueError):
         write_csv_report(spark.range(100), str(tmp_path / "r.csv"), max_rows=10)
+
+
+def test_cluster_exactness_agrees_with_pairwise_f1(spark, corpus, pipe):
+    """The linear exactness check must agree with pairwise F1: both
+    violation counts zero on the fixture (where F1 is proven 1.0), and
+    a deliberately broken clustering must trip it."""
+    _, out = pipe
+    truth = corpus.select(F.xxhash64("url").alias("doc_id"), "truth_key")
+    ex = evaluate.cluster_exactness(out["s7_clusters"], truth)
+    assert ex == {"split_truth_clusters": 0, "impure_pred_clusters": 0}
+    # break it: force every doc into its own cluster → dup clusters split
+    broken = out["s7_clusters"].select("doc_id", F.col("doc_id").alias("cluster_id"))
+    ex2 = evaluate.cluster_exactness(broken, truth)
+    assert ex2["split_truth_clusters"] > 0
+    # break the other way: one giant cluster → impurity
+    lumped = out["s7_clusters"].select("doc_id", F.lit(1).alias("cluster_id"))
+    ex3 = evaluate.cluster_exactness(lumped, truth)
+    assert ex3["impure_pred_clusters"] > 0
+
+
+def test_scalable_f1_equals_materialized_f1(spark, corpus, pipe):
+    """pairwise_f1_scalable must return the exact same counts as the
+    pair-materializing evaluator on a corpus where both run."""
+    _, out = pipe
+    truth = corpus.select(F.xxhash64("url").alias("doc_id"), "truth_key")
+    labeled = evaluate.labeled_same_block_pairs(
+        evaluate.doc_level_keys(out["s2_exact"], out["s3_keys"]), truth
+    )
+    dense = evaluate.pairwise_f1(labeled, out["s7_clusters"])
+    fast = evaluate.pairwise_f1_scalable(
+        out["s2_exact"], out["s3_keys"], truth, out["s7_clusters"]
+    )
+    for k in ("tp", "fp", "fn", "n_labeled_pairs", "precision", "recall", "f1"):
+        assert fast[k] == dense[k], (k, fast[k], dense[k])
+    assert fast["mixed_md5_groups"] == 0
+
+
+def test_scalable_f1_detects_broken_clustering(spark, corpus, pipe):
+    """Same agreement must hold when the clustering is WRONG (fp/fn
+    nonzero), as long as md5 groups stay cluster-uniform (the
+    decomposition's precondition; violations are flagged via
+    mixed_md5_groups)."""
+    _, out = pipe
+    truth = corpus.select(F.xxhash64("url").alias("doc_id"), "truth_key")
+    labeled = evaluate.labeled_same_block_pairs(
+        evaluate.doc_level_keys(out["s2_exact"], out["s3_keys"]), truth
+    )
+    # FN case: split along md5 boundaries (cluster = rep) — near-dup
+    # truth clusters spanning several md5 groups come apart
+    split = out["s2_exact"].select("doc_id", F.col("rep_id").alias("cluster_id"))
+    dense = evaluate.pairwise_f1(labeled, split)
+    fast = evaluate.pairwise_f1_scalable(out["s2_exact"], out["s3_keys"], truth, split)
+    for k in ("tp", "fp", "fn", "n_labeled_pairs"):
+        assert fast[k] == dense[k], (k, fast[k], dense[k])
+    assert fast["fn"] > 0 and fast["f1"] < 1.0
+    # FP case: everything in one giant cluster
+    lumped = out["s7_clusters"].select("doc_id", F.lit(1).alias("cluster_id"))
+    dense = evaluate.pairwise_f1(labeled, lumped)
+    fast = evaluate.pairwise_f1_scalable(out["s2_exact"], out["s3_keys"], truth, lumped)
+    for k in ("tp", "fp", "fn", "n_labeled_pairs"):
+        assert fast[k] == dense[k], (k, fast[k], dense[k])
+    assert fast["fp"] > 0
