@@ -57,7 +57,12 @@ STAGES = (
 @dataclass
 class PipelineConfig:
     n_bands: int = 32
-    rows_per_band: int = 4
+    # rows_per_band=3 (not 4): measured at 400k pages, r=4 misses ~2 of
+    # 52k planted near-dup clusters whose shortest-doc pairs sit at
+    # Jaccard ≈ 0.5 (per-pair band-collision prob ~0.8 at J=0.47);
+    # r=3 lifts that to ~0.97, recovers every cluster, and costs only
+    # +0.8% scored pairs (3.19M vs 3.17M) — see STATUS.md round 2.
+    rows_per_band: int = 3
     hot_threshold: int = 1000
     salt_buckets: int = 16
     max_block_size: int | None = 100_000
