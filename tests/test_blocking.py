@@ -56,3 +56,17 @@ def test_near_duplicates_share_a_block(spark, corpus):
     full = per_key.where(F.col("best") == F.col("size")).count()
     total = per_key.count()
     assert full / total >= 0.9
+
+
+def test_approx_count_distinct_cluster_cardinality(spark, corpus):
+    """SURVEY §2.4 target add: approx_count_distinct as the cheap
+    cluster-cardinality sanity probe — must land within 5% of exact."""
+    from pyspark.sql import functions as F
+
+    from dedupe_spark.functions.text import content_hash
+    from dedupe_spark.operators.extract import extract_docs
+
+    docs = extract_docs(corpus).select(content_hash(F.col("text")).alias("h"))
+    exact = docs.select(F.countDistinct("h")).collect()[0][0]
+    approx = docs.select(F.approx_count_distinct("h", rsd=0.02)).collect()[0][0]
+    assert abs(approx - exact) / exact < 0.05, (approx, exact)
