@@ -1,12 +1,16 @@
 """Large-scale robustness run: full ER pipeline + pairwise F1 at the
 largest corpus the sandbox comfortably holds.
 
-Usage: python scripts/robustness_run.py [n_pages] [--full-commit]
+Usage: python scripts/robustness_run.py [n_pages] [--full-commit] [--pairwise-dense]
 
 Generates the deterministic corpus (seed 42), runs the pipeline
-(fast_mode by default), evaluates pairwise F1 on labeled same-block
-pairs (BASELINE.json metric), and prints one JSON line. The corpus is
-materialized to parquet untimed (production input shape).
+(fast_mode by default; --full-commit materializes every stage),
+evaluates pairwise F1 on labeled same-block pairs (BASELINE.json
+metric) with the hot-block-safe scalable evaluator
+(--pairwise-dense forces the pair-materializing one — quadratic in
+hot-block size, sandbox-feasible only below ~200k pages), and prints
+one JSON line. The corpus is materialized to parquet untimed
+(production input shape).
 """
 
 from __future__ import annotations
