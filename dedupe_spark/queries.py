@@ -909,7 +909,11 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     sizing stage partitions to the cluster is standard."""
     par = spark.sparkContext.defaultParallelism
     docs = load_table(spark, sf, "documents").select("doc_id", "text").repartition(par)
-    keys = block_keys(docs, use_minhash=True, use_simhash=False)
+    # persist the compact (id, key) table: generate_pairs consumes it
+    # from several plan branches and would re-run the sketch UDF per
+    # branch otherwise (the pipeline materializes s3_keys for the same
+    # reason)
+    keys = block_keys(docs, use_minhash=True, use_simhash=False).persist()
     pairs, _ = generate_pairs(keys)
     return pairs
 
@@ -992,7 +996,10 @@ def q_er_pipeline_clusters(spark: SparkSession, sf: str) -> DataFrame:
     rep = docs.groupBy("content_md5").agg(F.min("doc_id").alias("rep_id"))
     exact = docs.join(rep, "content_md5")
     reps = exact.where(F.col("doc_id") == F.col("rep_id")).select("doc_id", "text")
-    keys = block_keys(reps)
+    # persist the sketch keys: generate_pairs' sizes/cold/hot branches
+    # would each re-run the minhash+simhash UDF scan otherwise (the
+    # checkpointed pipeline materializes s3_keys for the same reason)
+    keys = block_keys(reps).persist()
     pairs, _ = generate_pairs(keys, max_block_size=10_000)
     feats = scoring.pair_features(attach_texts(pairs, reps))
     match = scoring.matches(scoring.score_pairs(feats))
