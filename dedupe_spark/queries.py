@@ -629,7 +629,9 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     the emitted pair set is provably identical to the naive self-join
     (tests/test_pairs.py), so the DuckDB oracle is unchanged."""
     docs = load_table(spark, sf, "documents").select("doc_id", "n_chars", "text")
-    keys = docs.select("doc_id", F.col("n_chars").cast("string").alias("block_key"))
+    keys = docs.select(
+        "doc_id", F.col("n_chars").cast("string").alias("block_key")
+    ).persist()  # consumed by several generate_pairs branches
     pairs, _capped = generate_pairs(keys, hot_threshold=64, salt_buckets=8)
     return attach_texts(pairs, docs).select(
         "id1",
