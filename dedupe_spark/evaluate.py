@@ -93,12 +93,22 @@ def cluster_exactness(clusters: DataFrame, truth: DataFrame) -> dict[str, int]:
       * ``impure_pred_clusters`` — predicted clusters mixing >1 truth
         key (each implies ≥1 FP pair).
 
-    Both zero ⇔ predicted-same-cluster coincides exactly with
+      * ``missing_docs`` — truth docs absent from the clustering
+        entirely (a lossy pipeline would otherwise pass the inner-join
+        checks while every planted pair it dropped is a false
+        negative).
+
+    All three zero ⇔ predicted-same-cluster coincides exactly with
     truth-same-cluster on every pair of docs (singletons carry unique
     truth keys), hence pairwise precision = recall = F1 = 1.0 over ANY
     labeled subset — the BASELINE.json metric — without materializing
-    a single pair. Any nonzero count ⇒ F1 < 1.0; fall back to
-    ``pairwise_f1`` on a capped corpus to quantify."""
+    a single pair. Any nonzero count ⇒ the clustering is not exact;
+    fall back to ``pairwise_f1`` on a capped corpus to quantify."""
+    missing = (
+        truth.select("doc_id")
+        .join(clusters.select("doc_id"), "doc_id", "left_anti")
+        .count()
+    )
     j = clusters.join(truth, "doc_id")
     split = (
         j.where(~F.col("truth_key").startswith("single:"))
@@ -113,7 +123,11 @@ def cluster_exactness(clusters: DataFrame, truth: DataFrame) -> dict[str, int]:
         .where(F.col("n") > 1)
         .count()
     )
-    return {"split_truth_clusters": split, "impure_pred_clusters": impure}
+    return {
+        "split_truth_clusters": split,
+        "impure_pred_clusters": impure,
+        "missing_docs": missing,
+    }
 
 
 def pairwise_f1_scalable(
@@ -132,10 +146,12 @@ def pairwise_f1_scalable(
     decomposition; every labeled pair falls in exactly one family:
 
     * **md5 family** (pairs sharing the content-md5 key, i.e. same
-      bytes): per md5 group, if truth and predicted cluster are both
-      uniform, the group contributes C(n,2) TPs — counted
-      analytically. Non-uniform groups (hash collisions / pipeline
-      bugs) are materialized pairwise (rare by construction).
+      bytes): per md5 group, truth and predicted cluster must both be
+      uniform (verified); the group then contributes C(n,2) TPs —
+      counted analytically. Non-uniform groups (md5 collisions /
+      split-identical-content bugs) invalidate the decomposition, so
+      the evaluator RAISES instead of reporting a silently-wrong F1;
+      quantify with the dense evaluator on a capped corpus.
     * **sketch family** (pairs sharing a representative sketch key but
       differing in md5): generated at REPRESENTATIVE level — two reps
       r1, r2 sharing a block contribute n1×n2 doc pairs, all with the
@@ -163,6 +179,29 @@ def pairwise_f1_scalable(
     uniform = g.where((F.col("nd_truth") == 1) & (F.col("nd_cluster") == 1))
     mixed = g.where((F.col("nd_truth") > 1) | (F.col("nd_cluster") > 1))
     n_mixed = mixed.count()
+    if n_mixed:
+        # A non-uniform md5 group means a split-within-identical-content
+        # bug (or an md5 collision): the rep-level expansion below would
+        # then be WRONG for every cross-block pair touching the group,
+        # silently overstating F1 exactly when the pipeline is broken.
+        # Refuse rather than report a wrong number — the dense
+        # evaluator (pairwise_f1 on a capped corpus) quantifies it.
+        raise ValueError(
+            f"{n_mixed} md5 group(s) are not truth/cluster-uniform; the "
+            "decomposition is invalid — run pairwise_f1 on a capped "
+            "corpus to quantify the damage"
+        )
+
+    # Docs dropped from the clustering would silently vanish from the
+    # joined view and inflate F1; a lossy pipeline must fail the eval.
+    n_dropped = exact.select("doc_id").join(
+        clusters.select("doc_id"), "doc_id", "left_anti"
+    ).count()
+    if n_dropped:
+        raise ValueError(
+            f"{n_dropped} doc(s) missing from the clustering — pairwise "
+            "metrics over the surviving rows would overstate quality"
+        )
 
     # md5 family, uniform groups: same md5 ⇒ same truth text ⇒ match
     # unless the (unique-per-doc) singleton key, which can't repeat.
@@ -172,37 +211,8 @@ def pairwise_f1_scalable(
         .collect()[0][0]
     )
 
-    # mixed md5 groups (rare): exact pairwise fallback within them
-    fb_tp = fb_fp = fb_fn = 0
-    if n_mixed:
-        docs_mixed = j.join(mixed.select("content_md5"), "content_md5")
-        a = docs_mixed.alias("a")
-        b = docs_mixed.alias("b")
-        pairs = (
-            a.join(b, "content_md5")
-            .where(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(
-                (
-                    (F.col("a.truth_key") == F.col("b.truth_key"))
-                    & ~F.col("a.truth_key").startswith("single:")
-                ).alias("is_match"),
-                (F.col("a.cluster_id") == F.col("b.cluster_id")).alias("pred"),
-            )
-        )
-        r = pairs.agg(
-            F.sum(F.when(F.col("pred") & F.col("is_match"), 1).otherwise(0)).alias("tp"),
-            F.sum(F.when(F.col("pred") & ~F.col("is_match"), 1).otherwise(0)).alias("fp"),
-            F.sum(F.when(~F.col("pred") & F.col("is_match"), 1).otherwise(0)).alias("fn"),
-            F.count(F.lit(1)).alias("n"),
-        ).collect()[0]
-        fb_tp, fb_fp, fb_fn = int(r["tp"] or 0), int(r["fp"] or 0), int(r["fn"] or 0)
-        fb_n = int(r["n"] or 0)
-    else:
-        fb_n = 0
-
-    # sketch family at rep level (only uniform groups expand; mixed md5
-    # groups' cross-block pairs are negligible and counted pessimistically
-    # nowhere — n_mixed is reported so a nonzero value flags the gap)
+    # sketch family at rep level: md5 groups proven uniform above, so a
+    # rep pair's n1*n2 doc pairs all share one (is_match, pred) status
     reps = uniform.select(
         F.col("rep_id").alias("rid"), "n", "tk", "cid", "content_md5"
     )
@@ -241,9 +251,9 @@ def pairwise_f1_scalable(
         F.sum(F.when(~F.col("pred") & F.col("is_match"), F.col("w")).otherwise(0)).alias("fn"),
         F.coalesce(F.sum("w"), F.lit(0)).alias("n_pairs"),
     ).collect()[0]
-    tp = md5_tp + fb_tp + int(r["tp"] or 0)
-    fp = fb_fp + int(r["fp"] or 0)
-    fn = fb_fn + int(r["fn"] or 0)
+    tp = md5_tp + int(r["tp"] or 0)
+    fp = int(r["fp"] or 0)
+    fn = int(r["fn"] or 0)
     precision = tp / (tp + fp) if tp + fp else 1.0
     recall = tp / (tp + fn) if tp + fn else 1.0
     f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
@@ -254,6 +264,6 @@ def pairwise_f1_scalable(
         "tp": tp,
         "fp": fp,
         "fn": fn,
-        "n_labeled_pairs": md5_tp + fb_n + int(r["n_pairs"] or 0),
+        "n_labeled_pairs": md5_tp + int(r["n_pairs"] or 0),
         "mixed_md5_groups": n_mixed,
     }

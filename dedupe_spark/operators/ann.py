@@ -193,7 +193,11 @@ def lsh_near_dup_pairs(
     bucket_udf = hyperplane_buckets_udf(dim, n_tables, n_bits)
     # persist the compact (id, bucket) table: generate_pairs consumes it
     # from several plan branches (sizes agg, cold join, hot grid), and
-    # without a persist each branch would re-run the sketch UDF scan
+    # without a persist each branch would re-run the sketch UDF scan.
+    # Deliberately not unpersisted (the returned plan is lazy and still
+    # references it); Spark's LRU storage eviction reclaims it — a
+    # long-lived driver looping over this operator should checkpoint
+    # keys to a table instead (the ER pipeline commits s3_keys)
     keys = v.select(
         "doc_id", F.explode(bucket_udf(F.col("v"))).alias("block_key")
     ).persist()

@@ -123,7 +123,7 @@ def audio_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
     )
 
 
-def near_duplicate_audio(features: DataFrame, max_hamming: int = 4) -> DataFrame:
+def near_duplicate_audio(features: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Banded-fingerprint near-dup pairs over audio fingerprints."""
     return banded_hamming_pairs(features, "afp", max_hamming=max_hamming)
 

@@ -137,7 +137,7 @@ def banded_hamming_pairs(
     features: DataFrame,
     hash_col: str,
     id_col: str = "media_id",
-    max_hamming: int = 4,
+    max_hamming: int = 3,
     n_bands: int = 4,
     band_bits: int = 16,
 ) -> DataFrame:
@@ -145,7 +145,17 @@ def banded_hamming_pairs(
     band_bits-wide slices of a 64-bit fingerprint (pigeonhole: any pair
     within hamming < n_bands shares ≥1 exact band), then refine
     JVM-side with bit_count(xor). The ER blocking pattern applied to
-    any perceptual hash — image phash, audio fingerprint, simhash."""
+    any perceptual hash — image phash, audio fingerprint, simhash.
+
+    The guarantee requires ``max_hamming < n_bands`` — a pair with one
+    differing bit in EVERY band shares no band key and would be
+    silently missed — so that precondition is enforced."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the pigeonhole guarantee "
+            f"with n_bands={n_bands}; need max_hamming < n_bands "
+            "(raise n_bands or lower max_hamming)"
+        )
     banded = features.select(
         id_col,
         hash_col,
@@ -181,7 +191,7 @@ def banded_hamming_pairs(
     )
 
 
-def near_duplicate_images(features: DataFrame, max_hamming: int = 4) -> DataFrame:
+def near_duplicate_images(features: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Exact-phash blocking + in-block hamming refine: the ER blocking
     pattern applied to image dedupe. Blocks on phash bands (4×16-bit),
     so near-identical phashes collide; hamming check JVM-side via

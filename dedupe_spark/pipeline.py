@@ -171,10 +171,16 @@ def run_pipeline(
             salt_buckets=cfg.salt_buckets,
             max_block_size=cfg.max_block_size,
         )
-        n_capped = capped.count()
-        if n_capped:
-            # never silent (SURVEY.md §7.4) — surfaced in logs + metrics
-            print(f"[pairs] WARNING: {n_capped} blocks exceeded max_block_size and were capped")
+        # The capped-block audit is an eager job over the s1→s3 lineage;
+        # on a fast_mode RESUME whose scored pairs are already committed
+        # the pairs are never consumed, so running it would recompute
+        # extraction + sketching for nothing — skip it there (the count
+        # ran when s5 was first produced).
+        if not (cfg.fast_mode and io.is_complete("s5_scored")):
+            n_capped = capped.count()
+            if n_capped:
+                # never silent (SURVEY.md §7.4) — surfaced in logs + metrics
+                print(f"[pairs] WARNING: {n_capped} blocks exceeded max_block_size and were capped")
         return p
 
     pairs = stage("s4_pairs", build_pairs, "s3_keys")

@@ -915,6 +915,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     # from several plan branches and would re-run the sketch UDF per
     # branch otherwise (the pipeline materializes s3_keys for the same
     # reason)
+    # (not unpersisted: the returned plan is lazy; LRU eviction reclaims)
     keys = block_keys(docs, use_minhash=True, use_simhash=False).persist()
     pairs, _ = generate_pairs(keys)
     return pairs

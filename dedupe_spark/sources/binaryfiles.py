@@ -17,7 +17,6 @@ parquet-input and file-input paths produce identical pages rows.
 
 from __future__ import annotations
 
-import calendar
 import os
 import zlib
 from collections.abc import Iterator
@@ -30,9 +29,13 @@ def write_html_tree(pages: DataFrame, out_dir: str, shards: int = 64) -> None:
     """Materialize pages(url, warc_ts, html) as a sharded html file tree.
 
     Distributed (foreachPartition — each executor writes its own rows);
-    shard = crc32(url) % shards bounds directory fan-out. The epoch in
-    the file name treats the session-naive timestamp as UTC (matching a
-    UTC session timezone, the cluster default here).
+    shard = crc32(url) % shards bounds directory fan-out. The file-name
+    epoch is computed JVM-side with ``unix_micros`` (an instant, no
+    timezone involved) BEFORE the rows cross into Python — Python-side
+    datetime arithmetic would be wrong on non-UTC sessions because the
+    executor pickle path renders timestamps in the JVM default zone,
+    not ``spark.sql.session.timeZone``. ``read_html_pages`` inverts it
+    with ``timestamp_micros`` — exact round trip in any zone.
     """
 
     def _write(rows: Iterator) -> None:
@@ -42,15 +45,13 @@ def write_html_tree(pages: DataFrame, out_dir: str, shards: int = 64) -> None:
             shard = zlib.crc32(r.url.encode("utf-8")) % shards
             d = os.path.join(out_dir, f"shard={shard:03d}")
             os.makedirs(d, exist_ok=True)
-            epoch = (
-                calendar.timegm(r.warc_ts.timetuple()) * 1_000_000
-                + r.warc_ts.microsecond
-            )
-            fn = f"{epoch}__{quote(r.url, safe='')}.html"
+            fn = f"{r.epoch_us}__{quote(r.url, safe='')}.html"
             with open(os.path.join(d, fn), "wb") as f:
                 f.write(bytes(r.html))
 
-    pages.select("url", "warc_ts", "html").foreachPartition(_write)
+    pages.select(
+        "url", F.unix_micros(F.col("warc_ts")).alias("epoch_us"), "html"
+    ).foreachPartition(_write)
 
 
 def read_html_pages(spark, input_dir: str, glob: str = "*.html") -> DataFrame:

@@ -25,6 +25,8 @@ Operators:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -130,20 +132,53 @@ def run_incremental_exact_dedupe(
       ~keys-only columnar IO and the seen-set never rides the stream
       state (unbounded keys stay on disk, not in memory).
     * **Replay idempotence by overwrite, not append.** Each batch
-      writes to ``batch=<id>`` subdirectories with overwrite mode — a
-      crash between commit points makes the retried batch overwrite its
-      own partial output instead of double-appending. The anti-join
-      excludes the current batch's own partition so a replay can't
-      filter against its failed first attempt."""
+      writes to ``batch=<tag>-<id>`` subdirectories with overwrite
+      mode — a crash between commit points makes the retried batch
+      overwrite its own partial output instead of double-appending.
+      The anti-join excludes the current batch's own partition so a
+      replay can't filter against its failed first attempt. ``tag`` is
+      derived from the checkpoint dir: a re-drain with a FRESH
+      checkpoint restarts micro-batch ids at 0, and without the tag its
+      batch 0 would overwrite the previous run's ``batch=0`` partition,
+      destroying already-deduped content.
+    * **Layout guards.** A store in the old flat layout (part files
+      directly under ``store_dir``) is rejected loudly — mixing it with
+      ``batch=`` subdirectories breaks partition discovery. A store
+      with a missing/partial key index gets the index rebuilt from the
+      store before the stream starts, so the anti-join can never be
+      silently skipped against real data."""
+    import hashlib
+
     deduped = dedup_within_watermark(stream_pages(spark, input_dir), watermark)
     keys_dir = store_dir + "_keys"
+    run_tag = hashlib.sha1(checkpoint_dir.encode("utf-8")).hexdigest()[:8]
+
+    # Driver-side layout guard + key-index bootstrap (local-path ops,
+    # matching StageIO; object-store deployments swap in Hadoop FS).
+    import glob as _glob
+
+    if _glob.glob(os.path.join(store_dir, "part-*.parquet")):
+        raise ValueError(
+            f"{store_dir} uses the legacy flat layout; migrate its part "
+            "files into a batch=<tag>-<id> subdirectory before re-draining"
+        )
+    if os.path.exists(store_dir) and not os.path.exists(keys_dir):
+        (
+            spark.read.option("basePath", store_dir)
+            .parquet(store_dir)
+            .select("content_md5")
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(f"{keys_dir}/batch=bootstrap-{run_tag}")
+        )
 
     def sink(batch: DataFrame, batch_id: int) -> None:
+        cur = f"{run_tag}-{batch_id}"
         out = batch.select("url", "warc_ts", "content_md5", "lang")
         existing = _read_keys_if_exists(spark, keys_dir)
         if existing is not None:
             prior = (
-                existing.where(F.col("batch") != batch_id)
+                existing.where(F.col("batch").cast("string") != cur)
                 .select("content_md5")
                 .distinct()
             )
@@ -154,9 +189,9 @@ def run_incremental_exact_dedupe(
             F.row_number().over(Window.partitionBy("content_md5").orderBy("url")),
         ).where(F.col("rn") == 1).drop("rn")
         out.persist()
-        out.write.mode("overwrite").parquet(f"{store_dir}/batch={batch_id}")
+        out.write.mode("overwrite").parquet(f"{store_dir}/batch={cur}")
         out.select("content_md5").write.mode("overwrite").parquet(
-            f"{keys_dir}/batch={batch_id}"
+            f"{keys_dir}/batch={cur}"
         )
         out.unpersist()
 

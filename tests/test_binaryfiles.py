@@ -53,3 +53,20 @@ def test_pipeline_from_files_matches_parquet_input(spark, corpus, tmp_path):
     ta = {(r["doc_id"], r["text"]) for r in out_f["s1_docs"].select("doc_id", "text").collect()}
     tb = {(r["doc_id"], r["text"]) for r in out_p["s1_docs"].select("doc_id", "text").collect()}
     assert ta == tb
+
+
+def test_round_trip_under_non_utc_session_tz(spark, corpus, tmp_path):
+    """warc_ts must round-trip exactly when the session timezone is not
+    UTC (the file-name epoch is computed against the session zone)."""
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        sample = corpus.limit(20)
+        tree = str(tmp_path / "tree_tz")
+        write_html_tree(sample, tree, shards=4)
+        back = read_html_pages(spark, tree)
+        want = {(r["url"], r["warc_ts"]) for r in sample.select("url", "warc_ts").collect()}
+        got = {(r["url"], r["warc_ts"]) for r in back.select("url", "warc_ts").collect()}
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)

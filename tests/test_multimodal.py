@@ -81,3 +81,15 @@ def test_near_duplicate_images_blocking(media):
     feats_map = {r["media_id"]: r["phash"] for r in feats.collect()}
     for a, b in got:
         assert feats_map[a] == feats_map[b]
+
+
+def test_banded_hamming_rejects_broken_pigeonhole(spark):
+    """max_hamming >= n_bands would silently miss pairs differing by
+    one bit per band — must raise."""
+    import pytest
+
+    from dedupe_spark.operators.multimodal import banded_hamming_pairs
+
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "media_id string, phash long")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        banded_hamming_pairs(df, "phash", max_hamming=4, n_bands=4)

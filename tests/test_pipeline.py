@@ -216,7 +216,14 @@ def test_cluster_exactness_agrees_with_pairwise_f1(spark, corpus, pipe):
     _, out = pipe
     truth = corpus.select(F.xxhash64("url").alias("doc_id"), "truth_key")
     ex = evaluate.cluster_exactness(out["s7_clusters"], truth)
-    assert ex == {"split_truth_clusters": 0, "impure_pred_clusters": 0}
+    assert ex == {
+        "split_truth_clusters": 0,
+        "impure_pred_clusters": 0,
+        "missing_docs": 0,
+    }
+    # a lossy clustering (rows dropped) must be flagged, not pass
+    lossy = out["s7_clusters"].limit(out["s7_clusters"].count() - 10)
+    assert evaluate.cluster_exactness(lossy, truth)["missing_docs"] == 10
     # break it: force every doc into its own cluster → dup clusters split
     broken = out["s7_clusters"].select("doc_id", F.col("doc_id").alias("cluster_id"))
     ex2 = evaluate.cluster_exactness(broken, truth)
@@ -269,3 +276,35 @@ def test_scalable_f1_detects_broken_clustering(spark, corpus, pipe):
     for k in ("tp", "fp", "fn", "n_labeled_pairs"):
         assert fast[k] == dense[k], (k, fast[k], dense[k])
     assert fast["fp"] > 0
+
+
+def test_scalable_f1_refuses_invalid_decomposition(spark, corpus, pipe):
+    """Non-uniform md5 groups or dropped docs must raise, never return
+    a silently-wrong F1."""
+    _, out = pipe
+    truth = corpus.select(F.xxhash64("url").alias("doc_id"), "truth_key")
+    # split identical content: every doc its own cluster
+    per_doc = out["s7_clusters"].select("doc_id", F.col("doc_id").alias("cluster_id"))
+    with pytest.raises(ValueError, match="not truth/cluster-uniform"):
+        evaluate.pairwise_f1_scalable(out["s2_exact"], out["s3_keys"], truth, per_doc)
+    # lossy clustering: rows missing entirely
+    lossy = out["s7_clusters"].limit(out["s7_clusters"].count() - 5)
+    with pytest.raises(ValueError, match="missing from the clustering"):
+        evaluate.pairwise_f1_scalable(out["s2_exact"], out["s3_keys"], truth, lossy)
+
+
+def test_fast_mode_resume_runs_no_jobs_for_pairs(spark, corpus, tmp_path):
+    """A fast_mode resume with s5/s7/s8 committed must not recompute
+    the extraction/sketch lineage (the capped-block audit is skipped)."""
+    work = str(tmp_path / "fastresume")
+    cfg = PipelineConfig(fast_mode=True)
+    run_pipeline(spark, corpus, work, config=cfg)
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    out = run_pipeline(spark, corpus, work, config=cfg)
+    after = tracker.getJobIdsForGroup(None)
+    assert out["_skipped"]["s5_scored"] and out["_skipped"]["s7_clusters"]
+    # resume reads the 3 committed stages' parquet footers (one tiny
+    # job each) but must NOT run the corpus-wide extract/sketch lineage
+    # (which takes >3 jobs: scan+agg+join stages per build)
+    assert len(after) - len(before) <= 3, (before, after)

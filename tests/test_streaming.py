@@ -122,3 +122,53 @@ def test_read_keys_missing_path_returns_none(spark, tmp_path):
     from dedupe_spark.streaming.incremental import _read_keys_if_exists
 
     assert _read_keys_if_exists(spark, str(tmp_path / "nope")) is None
+
+
+def test_redrain_with_fresh_checkpoint_preserves_store(spark, tmp_path):
+    """A second drain with a NEW checkpoint dir restarts micro-batch
+    ids at 0; its writes must not overwrite the first run's partitions
+    (regression: batch=<id> naming without a per-checkpoint tag
+    destroyed previously deduped content)."""
+    pages = generate_pages(spark, 200, seed=31).cache()
+    in1 = str(tmp_path / "in1")
+    in2 = str(tmp_path / "in2")
+    # two disjoint input slices, as if the queue was consumed between runs
+    pages.where(F.col("warc_ts") < "2026-01-01 02:00:00").write.parquet(in1)
+    pages.where(F.col("warc_ts") >= "2026-01-01 02:00:00").write.parquet(in2)
+    store = str(tmp_path / "store")
+    run_incremental_exact_dedupe(spark, in1, store, str(tmp_path / "ck1"))
+    n1 = spark.read.parquet(store).count()
+    run_incremental_exact_dedupe(spark, in2, store, str(tmp_path / "ck2"))
+    out = spark.read.parquet(store)
+    n_distinct = pages.select(F.md5(F.col("text"))).distinct().count()
+    assert out.select("content_md5").distinct().count() == n_distinct
+    assert out.count() >= n1  # first run's rows still present
+
+
+def test_missing_key_index_is_rebuilt_from_store(spark, tmp_path):
+    """Losing <store>_keys must not silently re-admit seen content —
+    the index is bootstrapped from the store before draining."""
+    import shutil
+
+    pages = generate_pages(spark, 150, seed=33).cache()
+    d = str(tmp_path / "in")
+    pages.write.parquet(d)
+    store = str(tmp_path / "store")
+    run_incremental_exact_dedupe(spark, d, store, str(tmp_path / "ck1"))
+    n_distinct = pages.select(F.md5(F.col("text"))).distinct().count()
+    shutil.rmtree(store + "_keys")
+    # re-drain same input with a fresh checkpoint: all keys already in
+    # the store → nothing may be re-admitted
+    run_incremental_exact_dedupe(spark, d, store, str(tmp_path / "ck2"))
+    assert spark.read.parquet(store).count() == n_distinct
+
+
+def test_legacy_flat_store_layout_rejected(spark, tmp_path):
+    pages = generate_pages(spark, 20, seed=34)
+    d = str(tmp_path / "in")
+    pages.write.parquet(d)
+    store = str(tmp_path / "store")
+    # fake a legacy flat store: part files directly under store_dir
+    spark.range(3).write.parquet(store)
+    with pytest.raises(ValueError, match="legacy flat layout"):
+        run_incremental_exact_dedupe(spark, d, store, str(tmp_path / "ck"))
