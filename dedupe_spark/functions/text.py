@@ -34,7 +34,10 @@ def token_count(text: Column) -> Column:
 # suffixes, space-prefixed letter runs, digit runs, punctuation runs.
 # Alternation + character classes only — identical semantics in Java
 # regex (Spark) and RE2 (DuckDB), so the oracle matches exactly.
-SUBWORD_RE = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+# Whitespace is an EXPLICIT ASCII class, not \s: Java's \s includes
+# \x0B (vertical tab) while RE2's does not, so \s would let the two
+# engines disagree on text containing \x0B.
+SUBWORD_RE = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r\f\x0B']+"
 
 
 def subword_token_count(text: Column) -> Column:

@@ -189,18 +189,21 @@ def lsh_near_dup_pairs(
     ≥0.9 vs brute force in tests."""
     from dedupe_spark.operators.pairs import generate_pairs
 
+    from dedupe_spark.sources.checkpoints import materialize
+
     v = vectors.select(F.col(id_col).alias("doc_id"), _as_double(vec_col).alias("v"))
     bucket_udf = hyperplane_buckets_udf(dim, n_tables, n_bits)
-    # persist the compact (id, bucket) table: generate_pairs consumes it
-    # from several plan branches (sizes agg, cold join, hot grid), and
-    # without a persist each branch would re-run the sketch UDF scan.
-    # Deliberately not unpersisted (the returned plan is lazy and still
-    # references it); Spark's LRU storage eviction reclaims it — a
-    # long-lived driver looping over this operator should checkpoint
-    # keys to a table instead (the ER pipeline commits s3_keys)
-    keys = v.select(
-        "doc_id", F.explode(bucket_udf(F.col("v"))).alias("block_key")
-    ).persist()
+    # materialize the compact (id, bucket) table: generate_pairs
+    # consumes it from several plan branches (sizes agg, cold join, hot
+    # grid), and without sharing each branch would re-run the sketch
+    # UDF scan. checkpoint-to-scratch-table (not .persist(): the
+    # returned plan is lazy, so nothing could ever unpersist, and a
+    # long-lived driver looping this operator would accumulate cached
+    # tables) — same pattern as the ER pipeline's s3_keys commit.
+    keys = materialize(
+        v.select("doc_id", F.explode(bucket_udf(F.col("v"))).alias("block_key")),
+        "lsh_near_dup_keys",
+    )
     pairs, _capped = generate_pairs(
         keys, hot_threshold=hot_threshold, salt_buckets=salt_buckets
     )

@@ -104,6 +104,20 @@ def run_pipeline(
     out: dict[str, DataFrame] = {}
     skipped: dict[str, bool] = {}
     ephemeral = {"s1_docs", "s2_exact", "s3_keys", "s4_pairs"} if cfg.fast_mode else set()
+    cached: list[DataFrame] = []
+
+    # Cache-hygiene hook: fast_mode persists s1-s4 for the run; a
+    # long-lived driver looping run_pipeline must not accumulate cached
+    # tables until LRU eviction. `_cleanup` unpersists exactly the
+    # frames THIS run cached (safe any time — the durable stages are
+    # committed, and an ephemeral frame consumed later just recomputes
+    # lazily); a full run calls it automatically after s8.
+    def cleanup() -> None:
+        for df in cached:
+            df.unpersist()
+        cached.clear()
+
+    out["_cleanup"] = cleanup  # type: ignore[assignment]
 
     def stage(name: str, build, lineage: str) -> DataFrame:
         if name in ephemeral:
@@ -113,6 +127,7 @@ def run_pipeline(
                 df, was_skipped = io.read(name), True
             else:
                 df, was_skipped = build().persist(), False
+                cached.append(df)
         else:
             df, was_skipped = io.run_stage(name, build, lineage=lineage)
         out[name] = df
@@ -228,5 +243,8 @@ def run_pipeline(
         .where(F.col("members") >= 2),
         "s7_clusters",
     )
+    # full run: everything durable is committed — release the run's
+    # ephemeral caches now (consumers of s1-s4 recompute lazily).
+    cleanup()
     out["_skipped"] = skipped  # type: ignore[assignment]
     return out

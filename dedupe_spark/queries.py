@@ -25,6 +25,7 @@ from dedupe_spark.operators import scoring
 from dedupe_spark.operators.blocking import block_keys, surviving_blocks
 from dedupe_spark.operators.cc import assign_all
 from dedupe_spark.operators.pairs import attach_texts, generate_pairs
+from dedupe_spark.sources.checkpoints import materialize
 from dedupe_spark.sources.testdata import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -32,6 +33,22 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # DuckDB token expression shared by the text-analysis oracles; matches
 # dedupe_spark.functions.text.tokens (whitespace split, drop empties).
 _DUCK_TOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footers (file or directory), driver-side:
+    metadata-only, zero Spark jobs — used for input-size guards."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    files = (
+        sorted(_glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True))
+        if _os.path.isdir(path)
+        else [path]
+    )
+    return sum(_pq.read_metadata(f).num_rows for f in files)
 
 
 # ---------------------------------------------------------------------------
@@ -629,9 +646,13 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     the emitted pair set is provably identical to the naive self-join
     (tests/test_pairs.py), so the DuckDB oracle is unchanged."""
     docs = load_table(spark, sf, "documents").select("doc_id", "n_chars", "text")
-    keys = docs.select(
-        "doc_id", F.col("n_chars").cast("string").alias("block_key")
-    ).persist()  # consumed by several generate_pairs branches
+    # consumed by several generate_pairs branches — checkpoint-to-scratch
+    # (not .persist(): a lazy catalog query can never unpersist, so a
+    # looping driver would leak storage; see checkpoints.materialize)
+    keys = materialize(
+        docs.select("doc_id", F.col("n_chars").cast("string").alias("block_key")),
+        "ngram_jaccard_keys",
+    )
     pairs, _capped = generate_pairs(keys, hot_threshold=64, salt_buckets=8)
     return attach_texts(pairs, docs).select(
         "id1",
@@ -747,7 +768,10 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    n = emb.count()
+    # size guard from parquet footers, driver-side — no eager Spark job
+    # (the catalog contract is lazy: nothing runs until the result is
+    # consumed), yet the refusal is still hard before any crossJoin.
+    n = _parquet_rows(f"{sf}/embeddings.parquet")
     if n > 50_000:  # ~1.25e9 candidate pairs — refuse, use the LSH path
         raise ValueError(
             f"brute-force near-dup refused at n={n}; use embedding_near_dup_lsh"
@@ -911,12 +935,14 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     sizing stage partitions to the cluster is standard."""
     par = spark.sparkContext.defaultParallelism
     docs = load_table(spark, sf, "documents").select("doc_id", "text").repartition(par)
-    # persist the compact (id, key) table: generate_pairs consumes it
-    # from several plan branches and would re-run the sketch UDF per
-    # branch otherwise (the pipeline materializes s3_keys for the same
-    # reason)
-    # (not unpersisted: the returned plan is lazy; LRU eviction reclaims)
-    keys = block_keys(docs, use_minhash=True, use_simhash=False).persist()
+    # materialize the compact (id, key) table: generate_pairs consumes
+    # it from several plan branches and would re-run the sketch UDF per
+    # branch otherwise (the pipeline commits s3_keys for the same
+    # reason). checkpoint-to-scratch, not .persist() — a lazy catalog
+    # query can never unpersist, so a looping driver would leak storage
+    keys = materialize(
+        block_keys(docs, use_minhash=True, use_simhash=False), "minhash_lsh_keys"
+    )
     pairs, _ = generate_pairs(keys)
     return pairs
 
@@ -999,10 +1025,11 @@ def q_er_pipeline_clusters(spark: SparkSession, sf: str) -> DataFrame:
     rep = docs.groupBy("content_md5").agg(F.min("doc_id").alias("rep_id"))
     exact = docs.join(rep, "content_md5")
     reps = exact.where(F.col("doc_id") == F.col("rep_id")).select("doc_id", "text")
-    # persist the sketch keys: generate_pairs' sizes/cold/hot branches
-    # would each re-run the minhash+simhash UDF scan otherwise (the
-    # checkpointed pipeline materializes s3_keys for the same reason)
-    keys = block_keys(reps).persist()
+    # materialize the sketch keys: generate_pairs' sizes/cold/hot
+    # branches would each re-run the minhash+simhash UDF scan otherwise
+    # (the checkpointed pipeline commits s3_keys for the same reason);
+    # checkpoint-to-scratch, not .persist() — no storage-cache leak
+    keys = materialize(block_keys(reps), "er_pipeline_keys")
     pairs, _ = generate_pairs(keys, max_block_size=10_000)
     feats = scoring.pair_features(attach_texts(pairs, reps))
     match = scoring.matches(scoring.score_pairs(feats))

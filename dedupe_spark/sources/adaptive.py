@@ -58,6 +58,7 @@ def adaptive_batch_write(
         for half in (0, 1):
             part = salted.where(F.col("__half") == half).drop("__half")
             calls += adaptive_batch_write(
-                part, write_fn, key, min_rows=min_rows, _depth=_depth + 1
+                part, write_fn, key, min_rows=min_rows, _depth=_depth + 1,
+                max_depth=max_depth,
             )
         return calls

@@ -37,6 +37,31 @@ CHECKPOINT_SCHEMA = (
 )
 
 
+def materialize(df: DataFrame, name: str) -> DataFrame:
+    """Checkpoint-to-table: share one computation across plan branches
+    WITHOUT a storage-cache leak.
+
+    ``.persist()`` inside a catalog query leaks: the returned plan is
+    lazy, so there is no point at which the query can unpersist, and a
+    long-lived driver looping such queries accumulates cached tables
+    until LRU eviction. Writing the small intermediate to a per-process
+    scratch parquet dir and reading it back gives the same
+    compute-once/consume-many behavior with zero executor-storage
+    footprint — repeated invocations overwrite the same path.
+
+    The dir is keyed by pid so concurrent bench legs (separate Spark
+    subprocesses on one host) never collide.
+    """
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"dedupe_spark_mat_{os.getpid()}", name
+    )
+    df.write.mode("overwrite").parquet(path)
+    # schema-supplied read: no footer-sampling inference job
+    return df.sparkSession.read.schema(df.schema).parquet(path)
+
+
 class StageIO:
     """Stage-table IO with completion markers and lineage counters."""
 
@@ -73,7 +98,10 @@ class StageIO:
         t_start = time.time()
         out = self.stage_dir(stage)
         df.write.mode("overwrite").parquet(out)
-        written = self.spark.read.parquet(out)
+        # re-read WITH the known schema: skips the footer-sampling
+        # schema-inference job a bare read would run per stage commit —
+        # a fixed driver cost that adds up over a 7-stage pipeline.
+        written = self.spark.read.schema(df.schema).parquet(out)
         # Per-partition counters from parquet footers (one task file per
         # output partition): zero extra Spark jobs, and ground truth of
         # what was durably written rather than what the plan promised.

@@ -92,8 +92,14 @@ def banded_near_dup_filter(
             is_dup = any(bin((h ^ s) & (2**64 - 1)).count("1") <= max_hamming for s in seen)
             if not is_dup:
                 out.append({"url": r.url, "warc_ts": r.warc_ts, "simhash": h})
-                if len(seen) < max_per_bucket:
-                    seen.append(h)
+                seen.append(h)
+        # bound state per bucket by evicting the OLDEST hashes (FIFO),
+        # never by refusing new ones: a saturated bucket that stopped
+        # admitting entries would silently pass every later near-dup of
+        # its newest members — a recall cliff. Eviction instead ages
+        # coverage out oldest-first, matching the TTL semantics.
+        if len(seen) > max_per_bucket:
+            seen = seen[-max_per_bucket:]
         state.update((seen,))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
