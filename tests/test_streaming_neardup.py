@@ -73,3 +73,114 @@ def test_banded_filter_suppresses_planted_near_dups(spark, stream_input, tmp_pat
     # exact-dup clusters (same html → same simhash) collapse to one
     urls = {r["url"] for r in survivors}
     assert len(urls) == len(survivors)
+
+
+def test_multi_band_guarantee_and_single_band_miss(spark, tmp_path):
+    """Planted hamming<=3 pairs: ALL suppressed with K=4 composed band
+    legs; the pair whose differing bits sit entirely inside band 0 is
+    MISSED with K=1 — why multi_band_near_dup_drain exists."""
+    import pandas as pd
+
+    from dedupe_spark.streaming.neardup import multi_band_near_dup_drain
+
+    h0 = 0x123456789ABCDEF0
+    g0 = 0x0FEDCBA987654321
+    far = 0x5555AAAA5555AAAA
+    rows = [
+        ("u/a", "2026-01-01T00:00:00", h0),
+        ("u/b", "2026-01-01T00:01:00", h0 ^ 0b111),          # 3 bits, band 0 only
+        ("u/c", "2026-01-01T00:00:30", g0),
+        ("u/d", "2026-01-01T00:02:00", g0 ^ (0b101 << 32)),   # 2 bits, band 2 only
+        ("u/e", "2026-01-01T00:03:00", far),                  # no near partner
+    ]
+    pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "simhash"])
+    pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"])
+    src = spark.createDataFrame(pdf, schema="url string, warc_ts timestamp, simhash long")
+    in_dir = str(tmp_path / "precomputed_in")
+    src.write.mode("overwrite").parquet(in_dir)
+
+    out4 = multi_band_near_dup_drain(
+        spark, in_dir, str(tmp_path / "multi4"), n_bands=4, precomputed=True
+    )
+    got4 = {r["url"] for r in spark.read.parquet(out4).collect()}
+    assert got4 == {"u/a", "u/c", "u/e"}  # every planted pair suppressed
+
+    out1 = multi_band_near_dup_drain(
+        spark, in_dir, str(tmp_path / "multi1"), n_bands=1, precomputed=True
+    )
+    got1 = {r["url"] for r in spark.read.parquet(out1).collect()}
+    assert "u/b" in got1          # band-0-only pair escapes a single leg
+    assert "u/d" not in got1      # band-0-sharing pair still caught
+
+
+def _near_pair_and_loner(pages):
+    """((kept_url, dup_url), loner_url): the pair shares a truth
+    cluster with different md5 and simhash hamming <= 3 (guaranteed
+    detectable by 4x16-bit banding); the loner's md5 is unique AND its
+    simhash is > 3 from EVERY other page (guaranteed admissible)."""
+    import collections
+    import hashlib as _h
+    import itertools
+
+    from dedupe_spark.functions.hashing import simhash64
+
+    rows = [
+        (r["url"], _h.md5(r["text"].encode()).hexdigest(), simhash64(r["text"]))
+        for r in pages.select("url", "text").collect()
+    ]
+    truth = {r["url"]: r["truth_key"] for r in pages.select("url", "truth_key").collect()}
+    by_key = collections.defaultdict(list)
+    for u, m, h in rows:
+        by_key[truth[u]].append((u, m, h))
+    pair = None
+    for mem in by_key.values():
+        for a, b in itertools.combinations(mem, 2):
+            if a[1] != b[1] and bin((a[2] ^ b[2]) & (2**64 - 1)).count("1") <= 3:
+                pair = (a[0], b[0])
+                break
+        if pair:
+            break
+    assert pair, "corpus seed produced no hamming<=3 near pair"
+    loner = next(
+        u
+        for u, m, h in rows
+        if sum(1 for _, m2, _ in rows if m2 == m) == 1
+        and all(
+            bin((h ^ h2) & (2**64 - 1)).count("1") > 3
+            for u2, _, h2 in rows
+            if u2 != u
+        )
+    )
+    return pair, loner
+
+
+def test_incremental_near_dedupe_cross_batch(spark, tmp_path):
+    """A near-dup of a PRIOR batch's page is detected via the persisted
+    band index (no store re-sketch) and suppressed; novel content still
+    lands (VERDICT r2 next-round #4)."""
+    from dedupe_spark.streaming.incremental import run_incremental_near_dedupe
+
+    pages = generate_pages(spark, 200, seed=7).cache()
+    (kept_url, dup_url), fresh_url = _near_pair_and_loner(pages)
+    in_dir = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    # wide watermark: batch 2 replants event times from the same corpus
+    # range, and the default 10-minute horizon would discard them as
+    # late before the index join ever ran (state lateness is not what
+    # this test exercises)
+    wm = "3650 days"
+    b1 = pages.where(~F.col("url").isin([dup_url, fresh_url]))
+    b1.write.mode("overwrite").parquet(in_dir)
+    run_incremental_near_dedupe(spark, in_dir, store, ckpt, watermark=wm)
+    stored1 = {r["url"] for r in spark.read.option("basePath", store).parquet(store).collect()}
+    assert kept_url in stored1 and dup_url not in stored1
+
+    # batch 2: the cross-batch near-dup + a genuinely new page
+    b2 = pages.where(F.col("url").isin([dup_url, fresh_url]))
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+    run_incremental_near_dedupe(spark, in_dir, store, ckpt, watermark=wm)
+    stored2 = {r["url"] for r in spark.read.option("basePath", store).parquet(store).collect()}
+    assert dup_url not in stored2       # suppressed against the prior batch
+    assert fresh_url in stored2         # novel content admitted
+    assert stored1 <= stored2           # nothing lost
