@@ -105,7 +105,53 @@ def tfidf_cosine(t1: str, t2: str) -> float:
     """Cosine over hashed log-TF vectors (pair-local; IDF-free by design:
     at 10^12 docs a global IDF table is a separate broadcast join — the
     comparator works on log-TF and the logistic weights absorb scale)."""
-    v1, v2 = _tf_vector(t1), _tf_vector(t2)
+    return _weighted_cosine(_tf_vector(t1), _tf_vector(t2))
+
+
+@F.pandas_udf(T.DoubleType())
+def tfidf_cosine_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    return pd.Series(
+        [tfidf_cosine(a or "", b or "") for a, b in zip(s1, s2)], dtype="float64"
+    )
+
+
+def compute_idf(docs, text_col: str = "text") -> np.ndarray:
+    """Corpus-level smoothed IDF over the hashed term space (SURVEY.md
+    §2.8's ``HashingTF+IDF`` target, built directly on DataFrame ops so
+    the hash matches :func:`_tf_vector` — ``crc32(token) % TF_DIM`` —
+    and the oracle can recompute it by hand).
+
+    Formula matches ``pyspark.ml.feature.IDF``'s smoothed variant:
+    ``idf(t) = ln((m + 1) / (df(t) + 1))`` with m = corpus size; a
+    bucket no document contains gets ``ln(m + 1)`` (df = 0).
+
+    Scale: per-document DISTINCT bucket explode → groupBy(bucket) —
+    cardinality is capped at ``TF_DIM`` (65,536) regardless of corpus
+    size, so the aggregation is map-side-combinable with a bounded
+    reduce, and the resulting table is a ~512 KB dense vector —
+    broadcastable to every executor. One pass over the corpus, run once
+    per pipeline (not per pair).
+    """
+    n_docs = docs.count()
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    buckets = docs.select(
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    toks,
+                    lambda t: F.pmod(F.crc32(F.encode(t, "utf-8")), F.lit(TF_DIM)),
+                )
+            )
+        ).alias("bucket")
+    )
+    counts = buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("df")).collect()
+    idf = np.full(TF_DIM, np.log(n_docs + 1.0), dtype="float64")
+    for r in counts:
+        idf[int(r["bucket"])] = np.log((n_docs + 1.0) / (r["df"] + 1.0))
+    return idf
+
+
+def _weighted_cosine(v1: dict[int, float], v2: dict[int, float]) -> float:
     if not v1 or not v2:
         return 1.0 if (not v1 and not v2) else 0.0
     dot = sum(w * v2[k] for k, w in v1.items() if k in v2)
@@ -114,11 +160,28 @@ def tfidf_cosine(t1: str, t2: str) -> float:
     return float(dot / (n1 * n2)) if n1 and n2 else 0.0
 
 
-@F.pandas_udf(T.DoubleType())
-def tfidf_cosine_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
-    return pd.Series(
-        [tfidf_cosine(a or "", b or "") for a, b in zip(s1, s2)], dtype="float64"
-    )
+def tfidf_cosine_global_udf(idf: np.ndarray, sc=None):
+    """Pandas-UDF factory: cosine over ``(1 + ln tf) * idf[bucket]``
+    vectors — the corpus-weighted alternative to the pair-local
+    :func:`tfidf_cosine` (config flag ``use_global_idf`` in the
+    pipeline). Pass the SparkContext so the 512 KB IDF vector ships as
+    a proper broadcast (torrent, once per executor) instead of riding
+    every serialized task."""
+    bcast = sc.broadcast(idf) if sc is not None else None
+
+    @F.pandas_udf(T.DoubleType())
+    def udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        w = bcast.value if bcast is not None else idf
+
+        def vec(t: str) -> dict[int, float]:
+            return {k: v * w[k] for k, v in _tf_vector(t).items()}
+
+        return pd.Series(
+            [_weighted_cosine(vec(a or ""), vec(b or "")) for a, b in zip(s1, s2)],
+            dtype="float64",
+        )
+
+    return udf
 
 
 def cosine_expr(v1, v2):

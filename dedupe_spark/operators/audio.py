@@ -51,12 +51,32 @@ def _fake_pcm(payload: bytes, n_samples: int = 4608) -> np.ndarray:
     return (rng.rand(n_samples).astype(np.float64) * 2.0) - 1.0
 
 
+def _real_pcm(payload: bytes) -> np.ndarray:
+    """Real decode via soundfile (import-guarded — not in this
+    container; tests importorskip it). Downmixes to mono float64 so
+    the fingerprint pipeline is identical across decoders."""
+    try:
+        import soundfile as sf
+    except ImportError as e:  # environment-blocked, loudly
+        raise NotImplementedError(
+            "decoder='real' needs soundfile, which is not installed; "
+            "use decoder='fake' for the deterministic twin"
+        ) from e
+    import io as _io
+
+    data, _sr = sf.read(_io.BytesIO(payload), dtype="float64")
+    return data if data.ndim == 1 else data.mean(axis=1)
+
+
 def _decode_pcm(payload: bytes, decoder: str) -> np.ndarray:
     if decoder == "stub":
         raise NotImplementedError(
             "real audio decoding needs torchaudio/soundfile/ffmpeg (not "
-            "in this container); use decoder='fake' or plug a codec here"
+            "in this container); use decoder='fake' or decoder='real' "
+            "where soundfile is installed"
         )
+    if decoder == "real":
+        return _real_pcm(payload)
     if decoder == "fake":
         return _fake_pcm(payload)
     raise ValueError(f"unknown decoder {decoder!r}")

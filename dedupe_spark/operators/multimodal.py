@@ -61,12 +61,34 @@ def _phash_from_pixels(px: np.ndarray) -> int:
     return v
 
 
+def _real_pixels(payload: bytes, h: int = 8, w: int = 8) -> np.ndarray:
+    """Real decode via Pillow (import-guarded: the library is not in
+    this container, so the path is exercised only where it exists —
+    tests importorskip it). Grayscale + resize to the same h×w luma
+    grid the fake twin emits, so every downstream op (phash, banding,
+    hamming refine) is identical across decoders."""
+    try:
+        from PIL import Image
+    except ImportError as e:  # environment-blocked, loudly — never a
+        raise NotImplementedError(  # silent fake fallback mislabeled as real
+            "decoder='real' needs Pillow, which is not installed; "
+            "use decoder='fake' for the deterministic twin"
+        ) from e
+    import io as _io
+
+    img = Image.open(_io.BytesIO(payload)).convert("L").resize((w, h))
+    return np.asarray(img, dtype=np.float64)
+
+
 def _decode(payload: bytes, decoder: str) -> np.ndarray:
     if decoder == "stub":
         raise NotImplementedError(
             "real image decoding needs Pillow/libjpeg (not in this "
-            "container); use decoder='fake' or plug a codec in here"
+            "container); use decoder='fake' or decoder='real' where "
+            "Pillow is installed"
         )
+    if decoder == "real":
+        return _real_pixels(payload)
     if decoder == "fake":
         return _fake_pixels(payload)
     raise ValueError(f"unknown decoder {decoder!r}")

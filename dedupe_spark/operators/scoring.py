@@ -47,6 +47,7 @@ def pair_features(
     pairs_with_text: DataFrame,
     truncate_chars: int = 256,
     jw_chars: int = 128,
+    tf_cosine=None,
 ) -> DataFrame:
     """(id1,id2,text1,text2) → + feature columns.
 
@@ -57,6 +58,10 @@ def pair_features(
     inside the Arrow batch) a 128-char prefix. Beyond a short prefix
     neither adds signal over shingle-Jaccard/TF-cosine, which see the
     full text.
+
+    ``tf_cosine`` overrides the tf_cosine feature UDF — the pipeline
+    passes ``tfidf_cosine_global_udf(compute_idf(reps))`` when
+    corpus-level IDF weighting is enabled (``use_global_idf``).
     """
     t1, t2 = F.col("text1"), F.col("text2")
     p1 = F.substring(t1, 1, truncate_chars)
@@ -80,7 +85,7 @@ def pair_features(
         jaro_winkler_udf(j1, j2).alias("jaro_winkler"),
         lev_ratio.cast("double").alias("lev_ratio"),
         token_jaccard_udf(t1, t2).alias("jaccard3"),
-        tfidf_cosine_udf(t1, t2).alias("tf_cosine"),
+        (tf_cosine or tfidf_cosine_udf)(t1, t2).alias("tf_cosine"),
         len_ratio.alias("len_ratio"),
     )
 

@@ -76,6 +76,13 @@ class PipelineConfig:
     # on the planted corpus without them)
     use_ngrams: bool = False
     use_domain: bool = False
+    # corpus-level IDF weighting for the tf_cosine feature (SURVEY §2.8
+    # HashingTF+IDF target): one bounded-cardinality aggregation over
+    # the representatives builds a ~512 KB IDF vector, broadcast to the
+    # feature UDF. Off by default — the pair-local log-TF cosine
+    # reaches F1=1.0 on the planted corpus without it, and skipping the
+    # extra corpus pass is the cheaper default.
+    use_global_idf: bool = False
     # fast_mode: materialize ONLY the expensive, resume-critical stages
     # (s5_scored — "never recompute scored pairs", north_rule — plus
     # s7_clusters and the tiny s8_report). s1-s4 are cheap recomputes
@@ -208,13 +215,27 @@ def run_pipeline(
     # column, and a separate commit would double the write of the
     # largest intermediate. Resume-from-here still never recomputes a
     # scored pair (north_rule).
-    scores = stage(
-        "s5_scored",
-        lambda: scoring.score_pairs(
-            scoring.pair_features(attach_texts(pairs, reps)), cfg.weights, cfg.bias
-        ),
-        "s4_pairs",
-    )
+    def build_scored() -> DataFrame:
+        tf_udf = None
+        if cfg.use_global_idf:
+            from dedupe_spark.functions.similarity import (
+                compute_idf,
+                tfidf_cosine_global_udf,
+            )
+
+            # IDF over the representatives — the population the pairs
+            # are drawn from; computed only when s5 actually builds
+            # (a resume with s5 committed never pays the corpus pass)
+            tf_udf = tfidf_cosine_global_udf(
+                compute_idf(reps), spark.sparkContext
+            )
+        return scoring.score_pairs(
+            scoring.pair_features(attach_texts(pairs, reps), tf_cosine=tf_udf),
+            cfg.weights,
+            cfg.bias,
+        )
+
+    scores = stage("s5_scored", build_scored, "s4_pairs")
     if stop_after == "s5_scored":
         out["_skipped"] = skipped  # type: ignore[assignment]
         return out

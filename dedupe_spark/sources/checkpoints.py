@@ -192,6 +192,54 @@ class StageIO:
         )
         pq.write_table(table, os.path.join(d, f"ckpt-{rows[0]['stage']}-{time.time_ns()}.parquet"))
 
+    # -- staged-commit protocol for in-place rewrites ----------------------
+    #
+    # upsert/delete rewrite a stage table whose NEW content derives from
+    # its OLD content, so an in-place overwrite would read-while-truncate.
+    # Protocol (crash-safe at every step — tests/test_checkpoints.py
+    # injects a failure at each):
+    #   1. write merged result to <stage>__commit_tmp  (crash ⇒ old data
+    #      + old marker intact; rerun overwrites tmp from scratch)
+    #   2. reset(stage): remove the completion marker  (crash between 1
+    #      and 3 ⇒ marker absent BUT tmp holds the full result with its
+    #      _SUCCESS — recover() finishes the commit)
+    #   3. write(tmp → stage): data + marker written last
+    #   4. remove tmp
+    # In production these are Iceberg MERGE/DELETE commits (atomic
+    # snapshot swap); this is the parquet spelling of the same contract.
+
+    def _commit_tmp_dir(self, stage: str) -> str:
+        return self.stage_dir(stage) + "__commit_tmp"
+
+    def recover(self, stage: str) -> bool:
+        """Finish an upsert/delete that crashed between reset and write
+        (step 2→3 above): the staged result is durable in the tmp dir.
+        Returns True iff a recovery was performed. Called automatically
+        by :meth:`upsert` and :meth:`delete`; also safe to call on
+        startup."""
+        import shutil
+
+        tmp = self._commit_tmp_dir(stage)
+        if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            return False
+        if not self.is_complete(stage):
+            staged = self.spark.read.parquet(tmp)
+            self.write(staged, stage, lineage="recovered-commit")
+        # marker present: the crash hit after step 3 — tmp is stale
+        shutil.rmtree(tmp, ignore_errors=True)
+        return True
+
+    def _commit_via_tmp(self, merged: DataFrame, stage: str, lineage: str) -> DataFrame:
+        import shutil
+
+        tmp = self._commit_tmp_dir(stage)
+        merged.write.mode("overwrite").parquet(tmp)
+        self.reset(stage)
+        staged = self.spark.read.parquet(tmp)
+        result = self.write(staged, stage, lineage=lineage)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return result
+
     def upsert(self, df: DataFrame, stage: str, key: str) -> DataFrame:
         """MERGE-INTO semantics on a stage table (reference S6 upsert
         sink, Dedupe.java:180-184: re-POSTed ids overwrite in place).
@@ -200,25 +248,16 @@ class StageIO:
         are appended. Parquet spelling of Iceberg's
         ``MERGE INTO t USING s ON t.key = s.key WHEN MATCHED THEN
         UPDATE * WHEN NOT MATCHED THEN INSERT *`` — an anti-join +
-        union + atomic rewrite."""
-        out = self.stage_dir(stage)
+        union + staged-commit rewrite (crash-safe; see protocol
+        comment above)."""
+        self.recover(stage)
         if self.is_complete(stage):
             existing = self.read(stage)
             keep = existing.join(df.select(key).distinct(), key, "left_anti")
             merged = keep.unionByName(df)
         else:
             merged = df
-        # write to a temp dir first: the source of `merged` includes the
-        # target path, so an in-place overwrite would read-while-truncate
-        tmp = out + "__merge_tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        self.reset(stage)
-        staged = self.spark.read.parquet(tmp)
-        result = self.write(staged, stage, lineage=f"upsert:{key}")
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
-        return result
+        return self._commit_via_tmp(merged, stage, lineage=f"upsert:{key}")
 
     def delete(self, keys: DataFrame | list, stage: str, key: str) -> DataFrame:
         """Delete-by-key sink (reference S7, Dedupe.java:185-196: ids
@@ -226,8 +265,9 @@ class StageIO:
 
         ``keys`` is either a one-column DataFrame of key values or a
         plain list. Parquet spelling of Iceberg's ``DELETE FROM t WHERE
-        key IN (...)`` — an anti-join + atomic rewrite, same commit
-        protocol as :meth:`upsert`."""
+        key IN (...)`` — an anti-join + staged-commit rewrite, same
+        crash-safe protocol as :meth:`upsert`."""
+        self.recover(stage)
         if not self.is_complete(stage):
             raise FileNotFoundError(f"stage {stage!r} has no completed checkpoint")
         existing = self.read(stage)
@@ -241,15 +281,7 @@ class StageIO:
         else:
             keys_df = keys.select(key)
         remaining = existing.join(keys_df.distinct(), key, "left_anti")
-        tmp = self.stage_dir(stage) + "__delete_tmp"
-        remaining.write.mode("overwrite").parquet(tmp)
-        self.reset(stage)
-        staged = self.spark.read.parquet(tmp)
-        result = self.write(staged, stage, lineage=f"delete:{key}")
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
-        return result
+        return self._commit_via_tmp(remaining, stage, lineage=f"delete:{key}")
 
     def refresh_tombstones(self, current: DataFrame, stage: str, key: str) -> DataFrame:
         """I4 tombstone refresh (Dedupe.java:109-112): rows in the stage

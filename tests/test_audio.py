@@ -65,3 +65,28 @@ def test_near_dup_band_blocking_not_all_pairs(spark, audio):
     banded_plan = near_duplicate_audio(feats)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in banded_plan
     assert "BroadcastNestedLoopJoin" not in banded_plan
+
+
+def test_real_audio_codec_guard():
+    """soundfile absent (this container): decoder='real' raises a loud
+    NotImplementedError; where present, it decodes a real WAV through
+    the same fingerprint path."""
+    import pytest as _pytest
+
+    from dedupe_spark.operators.audio import _decode_pcm
+
+    try:
+        import soundfile  # noqa: F401
+    except ImportError:
+        with _pytest.raises(NotImplementedError, match="soundfile"):
+            _decode_pcm(b"not-audio", "real")
+        return
+    import io as _io
+
+    import numpy as _np
+    import soundfile as sf
+
+    buf = _io.BytesIO()
+    sf.write(buf, _np.sin(_np.linspace(0, 100, 4608)), 16000, format="WAV")
+    pcm = _decode_pcm(buf.getvalue(), "real")
+    assert pcm.ndim == 1 and len(pcm) == 4608

@@ -96,3 +96,105 @@ def test_lineage_counts_partitioned_writes(spark, io, tmp_path):
     import pyarrow.parquet as _pq
 
     assert sum(_pq.read_metadata(f).num_rows for f in files) == 8
+
+
+# ---------------------------------------------------------------------------
+# Crash injection: the staged-commit protocol's windows (VERDICT r2 #7)
+# ---------------------------------------------------------------------------
+
+class _Boom(RuntimeError):
+    pass
+
+
+def test_upsert_crash_before_reset_loses_nothing(spark, io, monkeypatch):
+    """Crash after the tmp write but before reset: old data + marker
+    intact; a plain rerun of the same upsert succeeds."""
+    io.upsert(_df(spark, [(1, "a"), (2, "b")]), "t", "id")
+
+    def boom(stage):
+        raise _Boom("crash between step 1 and 2")
+
+    monkeypatch.setattr(io, "reset", boom)
+    with pytest.raises(_Boom):
+        io.upsert(_df(spark, [(3, "c")]), "t", "id")
+    monkeypatch.undo()
+    # nothing lost, stage still complete with the OLD content
+    assert io.is_complete("t")
+    assert {(r["id"], r["v"]) for r in io.read("t").collect()} == {(1, "a"), (2, "b")}
+    # rerun applies cleanly
+    io.upsert(_df(spark, [(3, "c")]), "t", "id")
+    assert {(r["id"], r["v"]) for r in io.read("t").collect()} == {
+        (1, "a"), (2, "b"), (3, "c")
+    }
+
+
+def test_upsert_crash_after_reset_recovers_from_tmp(spark, io, monkeypatch):
+    """Crash between reset and the final write: the marker is gone but
+    the staged result is durable in the tmp dir — the next upsert (or
+    an explicit recover()) finishes the commit with zero loss."""
+    io.upsert(_df(spark, [(1, "a"), (2, "b")]), "t", "id")
+    real_write = io.write
+
+    def boom(df, stage, lineage=""):
+        raise _Boom("crash between step 2 and 3")
+
+    monkeypatch.setattr(io, "write", boom)
+    with pytest.raises(_Boom):
+        io.upsert(_df(spark, [(2, "B"), (3, "c")]), "t", "id")
+    monkeypatch.setattr(io, "write", real_write)
+    assert not io.is_complete("t")  # the crash window is visible...
+    # ...but recovery completes the interrupted commit
+    fresh = StageIO(spark, io.base_dir)
+    assert fresh.recover("t")
+    assert fresh.is_complete("t")
+    assert {(r["id"], r["v"]) for r in fresh.read("t").collect()} == {
+        (1, "a"), (2, "B"), (3, "c")
+    }
+    # recover is idempotent / no-op afterwards
+    assert not fresh.recover("t")
+
+
+def test_upsert_crash_after_reset_next_upsert_self_heals(spark, io, monkeypatch):
+    """Same window, but the caller never calls recover() explicitly —
+    the next upsert must recover first, NOT treat the store as empty
+    (which would silently drop every pre-crash row)."""
+    io.upsert(_df(spark, [(1, "a"), (2, "b")]), "t", "id")
+    real_write = io.write
+    monkeypatch.setattr(io, "write", lambda df, stage, lineage="": (_ for _ in ()).throw(_Boom()))
+    with pytest.raises(_Boom):
+        io.upsert(_df(spark, [(3, "c")]), "t", "id")
+    monkeypatch.setattr(io, "write", real_write)
+    fresh = StageIO(spark, io.base_dir)
+    fresh.upsert(_df(spark, [(4, "d")]), "t", "id")
+    assert {(r["id"], r["v"]) for r in fresh.read("t").collect()} == {
+        (1, "a"), (2, "b"), (3, "c"), (4, "d")
+    }
+
+
+def test_upsert_crash_during_tmp_write_leaves_store_untouched(spark, io):
+    """A failure while computing/writing the merged tmp (poison UDF)
+    leaves the store and marker exactly as they were."""
+    io.upsert(_df(spark, [(1, "a")]), "t", "id")
+
+    @F.udf("string")
+    def poison(v):
+        raise RuntimeError("poison row")
+
+    bad = _df(spark, [(2, "b")]).withColumn("v", poison(F.col("v")))
+    with pytest.raises(Exception):
+        io.upsert(bad, "t", "id")
+    assert io.is_complete("t")
+    assert {(r["id"], r["v"]) for r in io.read("t").collect()} == {(1, "a")}
+
+
+def test_delete_crash_after_reset_recovers(spark, io, monkeypatch):
+    io.run_stage("t", lambda: _df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    real_write = io.write
+    monkeypatch.setattr(io, "write", lambda df, stage, lineage="": (_ for _ in ()).throw(_Boom()))
+    with pytest.raises(_Boom):
+        io.delete([2], "t", "id")
+    monkeypatch.setattr(io, "write", real_write)
+    fresh = StageIO(spark, io.base_dir)
+    # next delete self-heals the interrupted one, then applies its own
+    fresh.delete([3], "t", "id")
+    assert {(r["id"], r["v"]) for r in fresh.read("t").collect()} == {(1, "a")}
