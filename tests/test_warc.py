@@ -110,3 +110,34 @@ def test_pipeline_from_warc_matches_parquet_input(spark, corpus, tmp_path):
     ta = {(r["doc_id"], r["text"]) for r in out_w["s1_docs"].select("doc_id", "text").collect()}
     tb = {(r["doc_id"], r["text"]) for r in out_p["s1_docs"].select("doc_id", "text").collect()}
     assert ta == tb
+
+
+# Property fuzz (pure Python — no Spark): arbitrary payload bytes,
+# including CRLFCRLF sequences and gzip mode, must round-trip through
+# record framing exactly.
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        payloads=st.lists(st.binary(min_size=0, max_size=200), min_size=1, max_size=8),
+        gz=st.booleans(),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_warc_framing_round_trip_fuzz(payloads, gz):
+        recs = b""
+        want = []
+        for i, body in enumerate(payloads):
+            url = f"http://fuzz/{i}"
+            date = "2026-01-01T00:00:00Z"
+            recs += _record("resource", url, date, body, ctype="application/octet-stream")
+            want.append((url, 1767225600000000, body))
+        if gz:
+            recs = b"".join(
+                gzip.compress(_record("resource", f"http://fuzz/{i}", "2026-01-01T00:00:00Z",
+                                      b, ctype="application/octet-stream"), mtime=0)
+                for i, b in enumerate(payloads)
+            )
+        assert list(parse_warc_records(recs)) == want
+except ImportError:  # hypothesis not installed — deterministic tests above still cover framing
+    pass
