@@ -34,6 +34,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description="dedupe_spark ER pipeline")
     p.add_argument("--input", required=True, help="pages parquet/iceberg path")
+    p.add_argument(
+        "--input-format",
+        default="parquet",
+        choices=["parquet", "warc", "html-tree"],
+        help="parquet table (default), WARC shard dir (ISO 28500 "
+        ".warc/.warc.gz), or raw html file tree",
+    )
     p.add_argument("--work-dir", required=True, help="stage/checkpoint root")
     p.add_argument("--max-block-size", type=int, default=100_000)
     p.add_argument("--hot-threshold", type=int, default=1000)
@@ -52,7 +59,16 @@ def main(argv: list[str] | None = None) -> int:
     from pyspark.sql import SparkSession
 
     spark = SparkSession.builder.appName("dedupe_spark_pipeline").getOrCreate()
-    pages = spark.read.parquet(args.input)
+    if args.input_format == "warc":
+        from dedupe_spark.sources.warc import read_warc_pages
+
+        pages = read_warc_pages(spark, args.input)
+    elif args.input_format == "html-tree":
+        from dedupe_spark.sources.binaryfiles import read_html_pages
+
+        pages = read_html_pages(spark, args.input)
+    else:
+        pages = spark.read.parquet(args.input)
     cfg = PipelineConfig(
         max_block_size=args.max_block_size,
         hot_threshold=args.hot_threshold,
