@@ -249,6 +249,7 @@ def run_incremental_near_dedupe(
     import hashlib
 
     from dedupe_spark.functions.hashing import simhash_band_keys, simhash_udf
+    from dedupe_spark.operators.pairs import generate_pairs
 
     arrivals = (
         stream_pages(spark, input_dir)
@@ -308,22 +309,40 @@ def run_incremental_near_dedupe(
             .drop("rn")
         )
         out.persist()
-        bands = out.select(
-            "url",
-            "warc_ts",
-            "simhash",
-            F.explode(simhash_band_keys(F.col("simhash"))).alias("band_key"),
+        # 3. within-batch near: band-colliding candidate pairs via the
+        #    same grid-skew-safe generator the batch pipeline uses — a
+        #    pathologically hot band bucket inside ONE micro-batch is
+        #    decomposed over the salt grid instead of landing its O(n²)
+        #    work in a single shuffle partition. The earlier
+        #    event-time arrival of each colliding pair wins.
+        key_rows = out.select(
+            F.col("url").alias("doc_id"),
+            F.explode(simhash_band_keys(F.col("simhash"))).alias("block_key"),
         )
-        # 3. within-batch near: earlier event-time arrival wins
-        a, b = bands.alias("a"), bands.alias("b")
-        earlier = (F.col("a.warc_ts") < F.col("b.warc_ts")) | (
-            (F.col("a.warc_ts") == F.col("b.warc_ts")) & (F.col("a.url") < F.col("b.url"))
+        cand, _capped = generate_pairs(key_rows)
+        meta = out.select("url", "warc_ts", "simhash")
+        m1 = meta.select(
+            F.col("url").alias("id1"),
+            F.col("warc_ts").alias("ts1"),
+            F.col("simhash").alias("h1"),
         )
-        ham_ab = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+        m2 = meta.select(
+            F.col("url").alias("id2"),
+            F.col("warc_ts").alias("ts2"),
+            F.col("simhash").alias("h2"),
+        )
+        later = F.when(
+            (F.col("ts1") < F.col("ts2"))
+            | ((F.col("ts1") == F.col("ts2")) & (F.col("id1") < F.col("id2"))),
+            F.col("id2"),
+        ).otherwise(F.col("id1"))
         within_sup = (
-            a.join(b, "band_key")
-            .where(earlier & (ham_ab <= max_hamming) & (F.col("a.url") != F.col("b.url")))
-            .select(F.col("b.url").alias("url"))
+            cand.join(m1, "id1")
+            .join(m2, "id2")
+            .where(
+                F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))) <= max_hamming
+            )
+            .select(later.alias("url"))
             .distinct()
         )
         out2 = out.join(within_sup, "url", "left_anti")
