@@ -184,3 +184,78 @@ def test_incremental_near_dedupe_cross_batch(spark, tmp_path):
     assert dup_url not in stored2       # suppressed against the prior batch
     assert fresh_url in stored2         # novel content admitted
     assert stored1 <= stored2           # nothing lost
+
+
+def test_incremental_near_dedupe_store_invariant_multi_batch(spark, tmp_path):
+    """Operator promise across a multi-batch drain: no two STORED pages
+    may share a simhash band within max_hamming, and every input page
+    is either stored or suppressed by a stored near/exact member."""
+    import hashlib as _h
+
+    from dedupe_spark.functions.hashing import simhash64
+    from dedupe_spark.streaming.incremental import run_incremental_near_dedupe
+
+    pages = generate_pages(spark, 300, seed=11).cache()
+    in_dir = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    wm = "3650 days"
+    # three batches of ~100 pages (drained separately: each append of
+    # files + re-drain is one availableNow micro-batch)
+    rows = pages.collect()
+    for i in range(3):
+        chunk = spark.createDataFrame(rows[i * 100 : (i + 1) * 100], pages.schema)
+        chunk.coalesce(1).write.mode("append").parquet(in_dir)
+        run_incremental_near_dedupe(spark, in_dir, store, ckpt, watermark=wm)
+
+    stored = spark.read.option("basePath", store).parquet(store).collect()
+    hashes = [(r["url"], int(r["simhash"])) for r in stored]
+    # invariant 1: no stored pair shares a band within hamming<=3
+    for i in range(len(hashes)):
+        for j in range(i + 1, len(hashes)):
+            x = (hashes[i][1] ^ hashes[j][1]) & (2**64 - 1)
+            ham = bin(x).count("1")
+            shares_band = any(
+                ((hashes[i][1] >> (b * 16)) & 0xFFFF)
+                == ((hashes[j][1] >> (b * 16)) & 0xFFFF)
+                for b in range(4)
+            )
+            assert not (shares_band and ham <= 3), (hashes[i], hashes[j], ham)
+    # invariant 2 (transitive coverage — within-batch suppression is
+    # greedy, so a chain member may be covered only via other
+    # suppressed pages): every connected component of the
+    # (same-md5 ∨ (shared-band ∧ hamming<=3)) graph over ALL input
+    # pages contains at least one STORED page.
+    stored_urls = {u for u, _ in hashes}
+    inp = [
+        (r["url"], _h.md5(r["text"].encode()).hexdigest(), simhash64(r["text"]))
+        for r in pages.collect()
+    ]
+    parent = {u: u for u, _, _ in inp}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def link(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    for i in range(len(inp)):
+        for j in range(i + 1, len(inp)):
+            (u1, m1_, h1), (u2, m2_, h2) = inp[i], inp[j]
+            ham = bin((h1 ^ h2) & (2**64 - 1)).count("1")
+            shares = any(
+                ((h1 >> (b * 16)) & 0xFFFF) == ((h2 >> (b * 16)) & 0xFFFF)
+                for b in range(4)
+            )
+            if m1_ == m2_ or (shares and ham <= 3):
+                link(u1, u2)
+    comp_has_stored: dict[str, bool] = {}
+    for u, _, _ in inp:
+        root = find(u)
+        comp_has_stored[root] = comp_has_stored.get(root, False) or u in stored_urls
+    assert all(comp_has_stored.values()), "a component lost all its pages"
