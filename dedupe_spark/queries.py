@@ -661,6 +661,49 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_edit_distance_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Edit-distance pair features over the same skew-safe same-length
+    pairs as ngram_jaccard_pairs, computed by the PRODUCTION feature
+    stage (operators.scoring.pair_features) and oracle-checked
+    value-for-value: Jaro-Winkler on the 128-char prefix (our
+    implementation is DuckDB-exact by construction — Winkler '90,
+    RapidFuzz transposition convention), Levenshtein ratio on the
+    256-char prefix (JVM built-in), and full-text length ratio. The
+    scoring comparator's SQL-expressible features under the driver's
+    hash gate (the UDF-only jaccard3/tf_cosine columns are covered by
+    their own oracles/tests)."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "n_chars", "text")
+    keys = materialize(
+        docs.select("doc_id", F.col("n_chars").cast("string").alias("block_key")),
+        "edit_feature_keys",
+    )
+    pairs, _capped = generate_pairs(keys, hot_threshold=64, salt_buckets=8)
+    feats = scoring.pair_features(attach_texts(pairs, docs))
+    return feats.select(
+        "id1",
+        "id2",
+        F.round("jaro_winkler", 6).alias("jw"),
+        F.round("lev_ratio", 6).alias("lev_ratio"),
+        F.round("len_ratio", 6).alias("len_ratio"),
+    )
+
+
+SQL_EDIT_DISTANCE_FEATURES = """
+WITH t AS (SELECT doc_id, n_chars, text FROM documents)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       round(jaro_winkler_similarity(substr(a.text, 1, 128), substr(b.text, 1, 128)), 6) AS jw,
+       round(CASE WHEN greatest(length(substr(a.text, 1, 256)), length(substr(b.text, 1, 256))) > 0
+             THEN 1.0 - levenshtein(substr(a.text, 1, 256), substr(b.text, 1, 256))::DOUBLE
+                  / greatest(length(substr(a.text, 1, 256)), length(substr(b.text, 1, 256)))
+             ELSE 1.0 END, 6) AS lev_ratio,
+       round(CASE WHEN greatest(length(a.text), length(b.text)) > 0
+             THEN least(length(a.text), length(b.text))::DOUBLE
+                  / greatest(length(a.text), length(b.text))
+             ELSE 1.0 END, 6) AS len_ratio
+FROM t a JOIN t b ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+"""
+
+
 SQL_NGRAM_JACCARD_PAIRS = f"""
 WITH t AS (
   SELECT doc_id, n_chars,
@@ -1078,6 +1121,7 @@ QUERIES: dict[str, QueryFn] = {
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "edit_distance_features": q_edit_distance_features,
     "ann_topk": q_ann_topk,
     "embedding_label_stats": q_embedding_label_stats,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
@@ -1127,6 +1171,7 @@ ORACLES: dict[str, str] = {
     "lang_id": SQL_LANG_ID,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "edit_distance_features": SQL_EDIT_DISTANCE_FEATURES,
     "ann_topk": SQL_ANN_TOPK,
     "embedding_label_stats": SQL_EMBEDDING_LABEL_STATS,
     "embedding_near_dup_pairs": SQL_EMBEDDING_NEAR_DUP_PAIRS,
