@@ -898,6 +898,110 @@ FROM s GROUP BY user_id
 """
 
 
+def q_asof_purchase_view(spark: SparkSession, sf: str) -> DataFrame:
+    """Backward as-of join (operators/temporal.py): attribute every
+    purchase to the user's most recent view at or before it — the
+    union+window encoding (one shuffle, no inequality join), vs
+    DuckDB's native ASOF LEFT JOIN as the oracle."""
+    from dedupe_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", "ts"
+    )
+    res = asof_join(purchases, views, keys=["user_id"], tiebreak="view_id")
+    return res.select(
+        "event_id", "user_id", "view_id", F.col("ts_matched").alias("view_ts")
+    )
+
+
+SQL_ASOF_PURCHASE_VIEW = """
+SELECT p.event_id, p.user_id, v.event_id AS view_id, v.ts AS view_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+def q_range_error_context(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded range join (operators/temporal.py): per error event, how
+    many same-user events landed in the preceding 5 minutes — bucketed
+    banding (equi-join + residual filter), vs DuckDB's inequality join."""
+    from dedupe_spark.operators.temporal import range_join
+
+    ev = load_table(spark, sf, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    others = ev.where(F.col("event_type") != "error").select(
+        "user_id", "ts", F.col("event_id").alias("near_id")
+    )
+    pairs = range_join(
+        errors,
+        others,
+        keys=["user_id"],
+        lower_seconds=-300.0,
+        upper_seconds=0.0,
+        how="left",
+    )
+    return pairs.groupBy("event_id", "user_id").agg(
+        F.count("near_id_r").alias("n_nearby")
+    )
+
+
+SQL_RANGE_ERROR_CONTEXT = """
+SELECT e.event_id, e.user_id, count(v.event_id) AS n_nearby
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT * FROM events WHERE event_type <> 'error') v
+  ON e.user_id = v.user_id
+ AND v.ts BETWEEN e.ts - INTERVAL '300 seconds' AND e.ts
+GROUP BY e.event_id, e.user_id
+"""
+
+
+def q_duplicate_shingles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring dedup primitive (Lee et al. 2021 style): 8-token
+    shingles shared by ≥2 distinct documents — the repeated-span
+    inventory a training-data pipeline removes before tokenization.
+    All-JVM: split → transform/slice → explode → groupBy."""
+    docs = (
+        load_table(spark, sf, "documents")
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .where(F.size("t") >= 8)
+    )
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(t) - 7), i -> array_join(slice(t, i, 8), ' '))")
+        ).alias("shingle"),
+    )
+    return (
+        sh.groupBy("shingle")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+SQL_DUPLICATE_SHINGLES = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+  FROM toks WHERE len(t) >= 8
+),
+sh AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS shingle FROM idx)
+SELECT shingle,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       count(*) AS n_occurrences
+FROM sh GROUP BY shingle HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Connected components (oracle: DuckDB recursive CTE)
 # ---------------------------------------------------------------------------
@@ -1127,6 +1231,9 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "dedup_by_fingerprint": q_dedup_by_fingerprint,
     "user_sessions": q_user_sessions,
+    "asof_purchase_view": q_asof_purchase_view,
+    "range_error_context": q_range_error_context,
+    "duplicate_shingles": q_duplicate_shingles,
     "cc_clusters": q_cc_clusters,
     "cluster_size_histogram": q_cluster_size_histogram,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1177,6 +1284,9 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup_pairs": SQL_EMBEDDING_NEAR_DUP_PAIRS,
     "dedup_by_fingerprint": SQL_DEDUP_BY_FINGERPRINT,
     "user_sessions": SQL_USER_SESSIONS,
+    "asof_purchase_view": SQL_ASOF_PURCHASE_VIEW,
+    "range_error_context": SQL_RANGE_ERROR_CONTEXT,
+    "duplicate_shingles": SQL_DUPLICATE_SHINGLES,
     "cc_clusters": SQL_CC_CLUSTERS,
     "cluster_size_histogram": SQL_CLUSTER_SIZE_HISTOGRAM,
     # Rows-only (no ANSI-SQL oracle, Python oracles in pytest instead):

@@ -35,6 +35,14 @@ EXPECTATIONS = {
     "audio_near_dups": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     "image_near_dups": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     "ngram_jaccard_pairs": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # temporal operators: single window / equi-join — the inequality
+    # must live in a residual Filter, never a join condition
+    "asof_purchase_view": (
+        ["Window", "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+    ),
+    "range_error_context": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    "duplicate_shingles": (["HashAggregate", "Generate"], ["CartesianProduct"]),
 }
 
 

@@ -31,7 +31,10 @@ def test_oracles_reference_known_tables_only():
     for name, sql in ORACLES.items():
         froms = re.findall(r"(?:FROM|JOIN)\s+([a-z_]+)\b", sql, re.IGNORECASE)
         for t in froms:
-            assert t in TABLES or t in ("e", "q", "s", "t", "g", "a", "b", "d", "r", "reach", "edges"), (
+            assert t in TABLES or t in (
+                "e", "q", "s", "t", "g", "a", "b", "d", "r",
+                "reach", "edges", "toks", "idx", "sh",
+            ), (
                 name,
                 t,
             )
