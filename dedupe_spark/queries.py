@@ -962,6 +962,32 @@ GROUP BY e.event_id, e.user_id
 """
 
 
+def q_train_val_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic content-hash train/val/test split
+    (operators/split.py): a pure function of md5(text) — stable across
+    reruns, parallelism, and row order, unlike randomSplit. Exact
+    duplicates land in the same side by construction."""
+    from dedupe_spark.operators.split import hash_split
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return hash_split(
+        docs, key="text", fractions={"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
+SQL_TRAIN_VAL_SPLIT = """
+SELECT doc_id,
+       CASE WHEN b < 8000 THEN 'train'
+            WHEN b < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 10000 AS b
+  FROM documents
+)
+"""
+
+
 def q_duplicate_shingles(spark: SparkSession, sf: str) -> DataFrame:
     """Exact-substring dedup primitive (Lee et al. 2021 style): 8-token
     shingles shared by ≥2 distinct documents — the repeated-span
@@ -1233,6 +1259,7 @@ QUERIES: dict[str, QueryFn] = {
     "user_sessions": q_user_sessions,
     "asof_purchase_view": q_asof_purchase_view,
     "range_error_context": q_range_error_context,
+    "train_val_split": q_train_val_split,
     "duplicate_shingles": q_duplicate_shingles,
     "cc_clusters": q_cc_clusters,
     "cluster_size_histogram": q_cluster_size_histogram,
@@ -1286,6 +1313,7 @@ ORACLES: dict[str, str] = {
     "user_sessions": SQL_USER_SESSIONS,
     "asof_purchase_view": SQL_ASOF_PURCHASE_VIEW,
     "range_error_context": SQL_RANGE_ERROR_CONTEXT,
+    "train_val_split": SQL_TRAIN_VAL_SPLIT,
     "duplicate_shingles": SQL_DUPLICATE_SHINGLES,
     "cc_clusters": SQL_CC_CLUSTERS,
     "cluster_size_histogram": SQL_CLUSTER_SIZE_HISTOGRAM,

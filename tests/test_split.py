@@ -1,0 +1,83 @@
+"""hash_split: determinism, fraction accuracy, duplicate co-placement,
+salt rotation, validation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_spark.operators.split import GRANULARITY, hash_split
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"document body number {i} with some words") for i in range(2000)]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_split_deterministic_across_parallelism_and_order(spark, docs):
+    a = hash_split(docs, "text")
+    b = hash_split(docs.repartition(17).orderBy(F.desc("doc_id")), "text")
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+
+
+def test_split_fractions_approximately_hold(spark, docs):
+    out = hash_split(docs, "text", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    n = sum(counts.values())
+    assert n == 2000
+    assert abs(counts["train"] / n - 0.8) < 0.05
+    assert abs(counts["val"] / n - 0.1) < 0.03
+    assert abs(counts["test"] / n - 0.1) < 0.03
+
+
+def test_exact_duplicates_land_in_same_split(spark):
+    rows = [(i, f"body {i % 50}") for i in range(500)]  # 10 copies each
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n_violations = (
+        hash_split(df, "text")
+        .groupBy("text")
+        .agg(F.countDistinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    assert n_violations == 0
+
+
+def test_salt_rotates_assignment(spark, docs):
+    # 50/50 so a salt change has maximal visible effect (~half move);
+    # under 98/1/1 most rows stay 'train' under any salt by mass
+    halves = {"a": 0.5, "b": 0.5}
+    a = hash_split(docs, "text", halves, salt="")
+    b = hash_split(docs, "text", halves, salt="epoch-2")
+    moved = (
+        a.select("doc_id", F.col("split").alias("s1"))
+        .join(b.select("doc_id", F.col("split").alias("s2")), "doc_id")
+        .where(F.col("s1") != F.col("s2"))
+        .count()
+    )
+    assert moved > 100  # a different salt reshuffles a large share
+
+
+def test_split_boundaries_are_exact_buckets(spark):
+    # a 2-way 50/50 split must cut exactly at GRANULARITY/2
+    from dedupe_spark.operators.split import split_bucket
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(3000)], "k string")
+    out = hash_split(df, "k", {"a": 0.5, "b": 0.5}).withColumn(
+        "bucket", split_bucket(F.col("k"))
+    )
+    bad = out.where(
+        ((F.col("bucket") < GRANULARITY // 2) & (F.col("split") != "a"))
+        | ((F.col("bucket") >= GRANULARITY // 2) & (F.col("split") != "b"))
+    ).count()
+    assert bad == 0
+
+
+def test_split_validation(spark, docs):
+    with pytest.raises(ValueError):
+        hash_split(docs, "text", {"train": 1.0})
+    with pytest.raises(ValueError):
+        hash_split(docs, "text", {"a": 0.5, "b": 0.6})
+    with pytest.raises(ValueError):
+        hash_split(docs, "text", {"a": 1.5, "b": -0.5})
