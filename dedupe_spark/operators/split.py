@@ -71,3 +71,38 @@ def hash_split(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     expr = expr.otherwise(F.lit(names[-1]))
     return df.withColumn(split_col, expr)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its
+    content-hash bucket falls below ``rate[stratum] * GRANULARITY``
+    (``default_rate`` for strata not in the dict).
+
+    This is the training-mix rebalancing move (downweight the dominant
+    language / source) done as a pure filter: no shuffle, no count, no
+    RNG state — ``df.sample`` is seed+partitioning dependent and
+    non-reproducible across cluster sizes, this is a scalar JVM
+    expression that yields the identical sample at any parallelism.
+    Keying on content means exact duplicates are kept or dropped
+    together, and a row's fate never changes when the corpus grows —
+    so incremental reruns only ever add rows, never flip old ones.
+    """
+    for name, r in list(rates.items()) + [("_default", default_rate)]:
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"stratified_hash_sample: rate {name}={r} outside [0, 1]")
+    bucket = split_bucket(F.col(key), salt=salt)
+    thr: Column | None = None
+    for name, r in rates.items():
+        cond = F.col(strata_col) == F.lit(name)
+        t = F.lit(round(r * GRANULARITY))
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    default_t = F.lit(round(default_rate * GRANULARITY))
+    thr = default_t if thr is None else thr.otherwise(default_t)
+    return df.where(bucket < thr)

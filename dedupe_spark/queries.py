@@ -1028,6 +1028,152 @@ FROM sh GROUP BY shingle HAVING count(DISTINCT doc_id) >= 2
 """
 
 
+def q_rep_ngram_fraction(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition filter feature (Rae et al. 2021 §A1.2):
+    per doc, the fraction of characters covered by occurrences of its
+    single most frequent word bigram. High values flag boilerplate /
+    machine-generated repetition before training. Deterministic
+    tie-break (count desc, bigram asc) keeps both engines aligned.
+    All-JVM: split → transform/slice → explode → groupBy → window."""
+    docs = (
+        load_table(spark, sf, "documents")
+        .select("doc_id", F.length("text").alias("text_chars"), F.split("text", " ").alias("t"))
+        .where(F.size("t") >= 2)
+    )
+    bg = docs.select(
+        "doc_id",
+        "text_chars",
+        F.explode(
+            F.expr("transform(sequence(1, size(t) - 1), i -> array_join(slice(t, i, 2), ' '))")
+        ).alias("ngram"),
+    )
+    cnt = bg.groupBy("doc_id", "text_chars", "ngram").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("ngram").alias("top_bigram"),
+            "n_occurrences",
+            F.round(
+                F.col("n_occurrences") * F.length("ngram") / F.col("text_chars"), 6
+            ).alias("rep_fraction"),
+        )
+    )
+
+
+SQL_REP_NGRAM_FRACTION = """
+WITH toks AS (
+  SELECT doc_id, length(text) AS text_chars, string_split(text, ' ') AS t
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, text_chars, t, unnest(generate_series(1, len(t) - 1)) AS i
+  FROM toks WHERE len(t) >= 2
+),
+bg AS (SELECT doc_id, text_chars, array_to_string(t[i:i+1], ' ') AS ngram FROM idx),
+cnt AS (
+  SELECT doc_id, text_chars, ngram, count(*) AS n_occurrences
+  FROM bg GROUP BY doc_id, text_chars, ngram
+),
+top AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY n_occurrences DESC, ngram ASC) AS rn
+  FROM cnt
+)
+SELECT doc_id, ngram AS top_bigram, n_occurrences,
+       round(n_occurrences * length(ngram) / text_chars, 6) AS rep_fraction
+FROM top WHERE rn = 1
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-mix rebalancing (operators/split.py
+    stratified_hash_sample): deterministically downsample the dominant
+    strata (en→35%, de→70%, rest kept) as a pure content-hash filter —
+    identical sample at any parallelism, exact dupes decided together,
+    no RNG. The oracle re-derives the same md5-bucket thresholds."""
+    from dedupe_spark.operators.split import stratified_hash_sample
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang", "text")
+    return stratified_hash_sample(
+        docs, key="text", strata_col="lang", rates={"en": 0.35, "de": 0.7}
+    ).select("doc_id", "lang")
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang
+FROM (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 10000 AS b
+  FROM documents
+)
+WHERE b < CASE lang WHEN 'en' THEN 3500 WHEN 'de' THEN 7000 ELSE 10000 END
+"""
+
+
+def q_split_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Eval-set contamination audit: for every test-split doc, how many
+    of its distinct 8-token shingles also occur anywhere in the train
+    split (Lee et al. 2021 §4; the check every LLM eval suite runs
+    before reporting numbers). Shingle equi-join — hash-partitions on
+    the shingle key at scale, no cartesian anywhere."""
+    from dedupe_spark.operators.split import hash_split
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    split = hash_split(docs, key="text", fractions={"train": 0.8, "val": 0.1, "test": 0.1})
+
+    def shingles(df: DataFrame) -> DataFrame:
+        t = df.select("doc_id", F.split("text", " ").alias("t")).where(F.size("t") >= 8)
+        return t.select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(1, size(t) - 7), i -> array_join(slice(t, i, 8), ' '))")
+            ).alias("shingle"),
+        )
+
+    train_sh = shingles(split.where(F.col("split") == "train")).select("shingle").distinct()
+    test = split.where(F.col("split") == "test")
+    hits = (
+        shingles(test)
+        .distinct()
+        .join(train_sh, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return test.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id", F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated")
+    )
+
+
+SQL_SPLIT_CONTAMINATION = """
+WITH split AS (
+  SELECT doc_id, text,
+         CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 10000 AS b
+  FROM documents
+),
+tr AS (SELECT text FROM split WHERE b < 8000),
+te AS (SELECT doc_id, text FROM split WHERE b >= 9000),
+tr_idx AS (
+  SELECT t, unnest(generate_series(1, len(t) - 7)) AS i
+  FROM (SELECT string_split(text, ' ') AS t FROM tr) WHERE len(t) >= 8
+),
+tr_sh AS (SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS shingle FROM tr_idx),
+te_idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM te) WHERE len(t) >= 8
+),
+te_sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS shingle FROM te_idx),
+hits AS (
+  SELECT doc_id, count(*) AS n FROM te_sh
+  WHERE shingle IN (SELECT shingle FROM tr_sh) GROUP BY doc_id
+)
+SELECT te.doc_id, CAST(coalesce(hits.n, 0) AS BIGINT) AS n_contaminated
+FROM te LEFT JOIN hits ON te.doc_id = hits.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Connected components (oracle: DuckDB recursive CTE)
 # ---------------------------------------------------------------------------
@@ -1261,6 +1407,9 @@ QUERIES: dict[str, QueryFn] = {
     "range_error_context": q_range_error_context,
     "train_val_split": q_train_val_split,
     "duplicate_shingles": q_duplicate_shingles,
+    "rep_ngram_fraction": q_rep_ngram_fraction,
+    "stratified_sample": q_stratified_sample,
+    "split_contamination": q_split_contamination,
     "cc_clusters": q_cc_clusters,
     "cluster_size_histogram": q_cluster_size_histogram,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1315,6 +1464,9 @@ ORACLES: dict[str, str] = {
     "range_error_context": SQL_RANGE_ERROR_CONTEXT,
     "train_val_split": SQL_TRAIN_VAL_SPLIT,
     "duplicate_shingles": SQL_DUPLICATE_SHINGLES,
+    "rep_ngram_fraction": SQL_REP_NGRAM_FRACTION,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "split_contamination": SQL_SPLIT_CONTAMINATION,
     "cc_clusters": SQL_CC_CLUSTERS,
     "cluster_size_histogram": SQL_CLUSTER_SIZE_HISTOGRAM,
     # Rows-only (no ANSI-SQL oracle, Python oracles in pytest instead):

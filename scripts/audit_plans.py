@@ -43,6 +43,12 @@ EXPECTATIONS = {
     ),
     "range_error_context": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     "duplicate_shingles": (["HashAggregate", "Generate"], ["CartesianProduct"]),
+    # repetition metric: one shuffle on (doc_id, ...) then a window
+    "rep_ngram_fraction": (["Window", "HashAggregate"], ["CartesianProduct"]),
+    # pure scalar filter — no shuffle, no join, no aggregate anywhere
+    "stratified_sample": ([], ["Exchange", "CartesianProduct", "HashAggregate"]),
+    # shingle equi-join; contamination must never cross-product
+    "split_contamination": (["LeftSemi"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
 }
 
 

@@ -34,6 +34,8 @@ def test_oracles_reference_known_tables_only():
             assert t in TABLES or t in (
                 "e", "q", "s", "t", "g", "a", "b", "d", "r",
                 "reach", "edges", "toks", "idx", "sh",
+                "bg", "cnt", "top", "split", "tr", "te",
+                "tr_idx", "tr_sh", "te_idx", "te_sh", "hits",
             ), (
                 name,
                 t,

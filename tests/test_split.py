@@ -6,7 +6,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from dedupe_spark.operators.split import GRANULARITY, hash_split
+from dedupe_spark.operators.split import GRANULARITY, hash_split, stratified_hash_sample
 
 
 @pytest.fixture(scope="module")
@@ -72,6 +72,55 @@ def test_split_boundaries_are_exact_buckets(spark):
         | ((F.col("bucket") >= GRANULARITY // 2) & (F.col("split") != "b"))
     ).count()
     assert bad == 0
+
+
+@pytest.fixture(scope="module")
+def strat_docs(spark):
+    rows = [
+        (i, "en" if i % 4 else "fr", f"stratified sample body {i} words") for i in range(4000)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string").cache()
+
+
+def test_stratified_sample_rates_hold_per_stratum(spark, strat_docs):
+    out = stratified_hash_sample(strat_docs, "text", "lang", {"en": 0.25})
+    kept = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert kept["fr"] == 1000  # default_rate=1.0 keeps every fr row
+    assert abs(kept["en"] / 3000 - 0.25) < 0.05
+
+
+def test_stratified_sample_deterministic_across_parallelism(spark, strat_docs):
+    a = stratified_hash_sample(strat_docs, "text", "lang", {"en": 0.3, "fr": 0.6})
+    b = stratified_hash_sample(
+        strat_docs.repartition(13).orderBy(F.desc("doc_id")), "text", "lang",
+        {"en": 0.3, "fr": 0.6},
+    )
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+
+
+def test_stratified_sample_is_subset_monotone_in_rate(spark, strat_docs):
+    # raising a stratum's rate only ever ADDS rows (same bucket, higher
+    # threshold) — the property incremental reruns rely on
+    lo = stratified_hash_sample(strat_docs, "text", "lang", {"en": 0.2})
+    hi = stratified_hash_sample(strat_docs, "text", "lang", {"en": 0.5})
+    assert lo.subtract(hi).count() == 0
+    assert hi.count() > lo.count()
+
+
+def test_stratified_sample_duplicates_decided_together(spark):
+    rows = [(i, "en", f"dup body {i % 40}") for i in range(400)]  # 10 copies each
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = stratified_hash_sample(df, "text", "lang", {"en": 0.5})
+    # every surviving text retains all 10 of its copies
+    bad = out.groupBy("text").count().where(F.col("count") != 10).count()
+    assert bad == 0
+
+
+def test_stratified_sample_validation(spark, strat_docs):
+    with pytest.raises(ValueError):
+        stratified_hash_sample(strat_docs, "text", "lang", {"en": 1.5})
+    with pytest.raises(ValueError):
+        stratified_hash_sample(strat_docs, "text", "lang", {}, default_rate=-0.1)
 
 
 def test_split_validation(spark, docs):
