@@ -1174,6 +1174,82 @@ FROM te LEFT JOIN hits ON te.doc_id = hits.doc_id
 """
 
 
+def q_canonical_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Keep-best-copy dedup: per exact-duplicate group (md5 of text),
+    retain the highest-quality copy (tie-break min doc_id) — the final
+    step of an LLM dedup pass where duplicate pages differ only in
+    metadata and the best-scoring copy survives. One shuffle on the
+    group key; both window frames share it."""
+    docs = load_table(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.md5("text").alias("md5_s"),
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+    )
+    w = Window.partitionBy("md5_s").orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+    wc = Window.partitionBy("md5_s")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("members", F.count(F.lit(1)).over(wc))
+        .where(F.col("rn") == 1)
+        .select(
+            "md5_s",
+            F.col("doc_id").alias("rep_id"),
+            F.col("quality").alias("rep_quality"),
+            "members",
+        )
+    )
+
+
+SQL_CANONICAL_DOCS = f"""
+WITH q AS (
+  SELECT doc_id, md5(text) AS md5_s,
+    round(
+      (CASE WHEN len(toks) BETWEEN 20 AND 100000 THEN 0.4::DOUBLE ELSE 0.0 END)
+      + (CASE WHEN len(toks) > 0 AND len(list_filter(toks, x -> lower(x) IN {_DUCK_STOPS}))::DOUBLE / len(toks) >= 0.01
+              THEN 0.3::DOUBLE ELSE 0.0 END)
+      + (CASE WHEN len(toks) > 0
+                   AND list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) BETWEEN 2.0 AND 12.0
+              THEN 0.3::DOUBLE ELSE 0.0 END)
+    , 6) AS quality
+  FROM (SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents)
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY md5_s ORDER BY quality DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY md5_s) AS members
+  FROM q
+)
+SELECT md5_s, doc_id AS rep_id, quality AS rep_quality, members
+FROM r WHERE rn = 1
+"""
+
+
+def q_corpus_length_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus profiling for training-mix design: exact length
+    percentiles per language (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, linear interpolation — hash-verified). Exact
+    rather than approx_percentile because the oracle must match
+    bit-for-bit; at 100 TB the same query swaps in approx_percentile
+    (t-digest, one pass) with this as its small-scale twin."""
+    docs = load_table(spark, sf, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90_chars"),
+        F.round(F.expr("percentile(n_chars, 0.99)"), 6).alias("p99_chars"),
+    )
+
+
+SQL_CORPUS_LENGTH_PROFILE = """
+SELECT lang, count(*) AS n_docs,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+       round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+       round(quantile_cont(n_chars, 0.99), 6) AS p99_chars
+FROM documents GROUP BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # Connected components (oracle: DuckDB recursive CTE)
 # ---------------------------------------------------------------------------
@@ -1410,6 +1486,8 @@ QUERIES: dict[str, QueryFn] = {
     "rep_ngram_fraction": q_rep_ngram_fraction,
     "stratified_sample": q_stratified_sample,
     "split_contamination": q_split_contamination,
+    "canonical_docs": q_canonical_docs,
+    "corpus_length_profile": q_corpus_length_profile,
     "cc_clusters": q_cc_clusters,
     "cluster_size_histogram": q_cluster_size_histogram,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1467,6 +1545,8 @@ ORACLES: dict[str, str] = {
     "rep_ngram_fraction": SQL_REP_NGRAM_FRACTION,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "split_contamination": SQL_SPLIT_CONTAMINATION,
+    "canonical_docs": SQL_CANONICAL_DOCS,
+    "corpus_length_profile": SQL_CORPUS_LENGTH_PROFILE,
     "cc_clusters": SQL_CC_CLUSTERS,
     "cluster_size_histogram": SQL_CLUSTER_SIZE_HISTOGRAM,
     # Rows-only (no ANSI-SQL oracle, Python oracles in pytest instead):

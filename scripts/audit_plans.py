@@ -49,6 +49,9 @@ EXPECTATIONS = {
     "stratified_sample": ([], ["Exchange", "CartesianProduct", "HashAggregate"]),
     # shingle equi-join; contamination must never cross-product
     "split_contamination": (["LeftSemi"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # both window frames share the md5_s partitioning: exactly one shuffle
+    "canonical_docs": (["Window"], ["CartesianProduct"]),
+    "corpus_length_profile": ([], ["CartesianProduct", "Generate"]),
 }
 
 
