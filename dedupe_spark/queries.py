@@ -1250,6 +1250,162 @@ FROM documents GROUP BY lang
 """
 
 
+def q_token_shard_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """Cut the corpus into ~20k-token training shards and report each
+    shard's composition. The per-doc shard id is a global exclusive
+    token cumsum — computed by the two-phase distributed prefix sum in
+    `operators/packing.py` (only an n_buckets-row table is globally
+    sorted), NOT the single-task `Window.orderBy` the oracle uses; the
+    hash compare proves the decomposition exact."""
+    from dedupe_spark.operators.packing import pack_shards
+
+    docs = load_table(spark, sf, "documents")
+    t = docs.select("doc_id", TX.token_count(F.col("text")).alias("n_tokens"))
+    packed = pack_shards(t, order_col="doc_id", weight_col="n_tokens", budget=20_000)
+    return packed.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+SQL_TOKEN_SHARD_PACKING = f"""
+WITH t AS (SELECT doc_id, len({_DUCK_TOKS}) AS n FROM documents),
+c AS (
+  SELECT doc_id, n,
+         CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS cume
+  FROM t
+)
+SELECT cume // 20000 AS shard_id, count(*) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM c GROUP BY 1
+"""
+
+
+def q_lexical_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary-richness profile per language: type-token ratio and
+    hapax-legomenon fraction, aggregated as exact integer sums with a
+    single final division (deterministic across engines; a mean of
+    per-doc ratios would be FP-order-dependent). All higher-order JVM
+    functions, zero explode — the only shuffle is the groupBy(lang).
+    The nested filter is O(tokens^2) per doc; the 100-TB twin for
+    book-length docs is explode→count, same outputs."""
+    docs = load_table(spark, sf, "documents")
+    toks = F.transform(TX.tokens(F.col("text")), lambda t: F.lower(t))
+    per_doc = docs.select(
+        "lang",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(
+            F.filter(
+                F.array_distinct(toks),
+                lambda t: F.size(F.filter(toks, lambda x: x == t)) == F.lit(1),
+            )
+        ).alias("n_hapax"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("n_distinct") / F.sum("n_tok"), 6).alias("ttr"),
+        F.round(F.sum("n_hapax") / F.sum("n_distinct"), 6).alias("hapax_frac"),
+    )
+
+
+SQL_LEXICAL_DIVERSITY = f"""
+WITH t AS (
+  SELECT lang, len(toks) AS n_tok, len(list_distinct(toks)) AS n_distinct,
+         len(list_filter(list_distinct(toks),
+                         t -> len(list_filter(toks, x -> x = t)) = 1)) AS n_hapax
+  FROM (SELECT lang, list_transform({_DUCK_TOKS}, w -> lower(w)) AS toks FROM documents)
+)
+SELECT lang, count(*) AS n_docs,
+       round(CAST(sum(n_distinct) AS DOUBLE) / sum(n_tok), 6) AS ttr,
+       round(CAST(sum(n_hapax) AS DOUBLE) / sum(n_distinct), 6) AS hapax_frac
+FROM t GROUP BY lang
+"""
+
+
+def q_token_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc unigram Shannon entropy (nats) — the standard
+    gibberish/boilerplate detector (low entropy = repeated tokens,
+    cf. Gopher rule family): H = ln(n) - sum(c*ln c)/n over per-doc
+    token counts. explode→two-level groupBy, all JVM; doc_id carries
+    through both shuffles so partial aggregation stays map-side."""
+    docs = load_table(spark, sf, "documents")
+    toks = F.transform(TX.tokens(F.col("text")), lambda t: F.lower(t))
+    counts = (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.round(
+            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 6
+        ).alias("entropy"),
+    )
+
+
+SQL_TOKEN_ENTROPY = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_transform({_DUCK_TOKS}, w -> lower(w))) AS tok
+  FROM documents
+),
+c AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+FROM c GROUP BY doc_id
+"""
+
+
+def q_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source contamination matrix: distinct 8-token shingles
+    shared between every pair of sources (which feeds of a training
+    mix duplicate each other). Joins on a 64-bit md5 prefix of the
+    shingle, not the string — same shuffle key in both engines
+    (deterministic even under collision), 16 bytes instead of
+    arbitrary-length text on the wire. Pairwise output is quadratic in
+    #sources — this is the curated-mix audit (dozens of feeds), not a
+    per-domain op."""
+    docs = load_table(spark, sf, "documents")
+    t = docs.select("source", F.split("text", " ").alias("t")).where(F.size("t") >= 8)
+    sh = (
+        t.select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 7),"
+                    " i -> substring(md5(array_join(slice(t, i, 8), ' ')), 1, 16))"
+                )
+            ).alias("k"),
+        )
+        .distinct()
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, "k")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+
+
+SQL_SOURCE_OVERLAP = """
+WITH idx AS (
+  SELECT source, t, unnest(generate_series(1, len(t) - 7)) AS i
+  FROM (SELECT source, string_split(text, ' ') AS t FROM documents) WHERE len(t) >= 8
+),
+sh AS (
+  SELECT DISTINCT source, substr(md5(array_to_string(t[i:i+7], ' ')), 1, 16) AS k
+  FROM idx
+)
+SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared_shingles
+FROM sh a JOIN sh b ON a.k = b.k AND a.source < b.source
+GROUP BY a.source, b.source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Connected components (oracle: DuckDB recursive CTE)
 # ---------------------------------------------------------------------------
@@ -1488,6 +1644,10 @@ QUERIES: dict[str, QueryFn] = {
     "split_contamination": q_split_contamination,
     "canonical_docs": q_canonical_docs,
     "corpus_length_profile": q_corpus_length_profile,
+    "token_shard_packing": q_token_shard_packing,
+    "lexical_diversity": q_lexical_diversity,
+    "token_entropy": q_token_entropy,
+    "source_overlap": q_source_overlap,
     "cc_clusters": q_cc_clusters,
     "cluster_size_histogram": q_cluster_size_histogram,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1547,6 +1707,10 @@ ORACLES: dict[str, str] = {
     "split_contamination": SQL_SPLIT_CONTAMINATION,
     "canonical_docs": SQL_CANONICAL_DOCS,
     "corpus_length_profile": SQL_CORPUS_LENGTH_PROFILE,
+    "token_shard_packing": SQL_TOKEN_SHARD_PACKING,
+    "lexical_diversity": SQL_LEXICAL_DIVERSITY,
+    "token_entropy": SQL_TOKEN_ENTROPY,
+    "source_overlap": SQL_SOURCE_OVERLAP,
     "cc_clusters": SQL_CC_CLUSTERS,
     "cluster_size_histogram": SQL_CLUSTER_SIZE_HISTOGRAM,
     # Rows-only (no ANSI-SQL oracle, Python oracles in pytest instead):

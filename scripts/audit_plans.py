@@ -52,6 +52,13 @@ EXPECTATIONS = {
     # both window frames share the md5_s partitioning: exactly one shuffle
     "canonical_docs": (["Window"], ["CartesianProduct"]),
     "corpus_length_profile": ([], ["CartesianProduct", "Generate"]),
+    # two-phase prefix sum: offsets broadcast back, no cartesian
+    "token_shard_packing": (["Window", "BroadcastHashJoin"], ["CartesianProduct"]),
+    # all higher-order fns — no explode (Generate), single groupBy shuffle
+    "lexical_diversity": ([], ["CartesianProduct", "Generate", "Window"]),
+    "token_entropy": (["Generate"], ["CartesianProduct", "Window"]),
+    # shingle-key equi-join; pairwise overlap must never cross-product
+    "source_overlap": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
 }
 
 
