@@ -1,0 +1,66 @@
+"""URL canonicalization for web-crawl dedup.
+
+The first dedup pass over a crawl is URL-level: the same page is
+fetched as `HTTP://WWW.Example.com:443/a/?utm_source=x&b=1#frag` and
+`https://example.com/a?b=1`. Canonicalizing before the content passes
+collapses these for free (no text ever shuffles).
+
+Rules (the common subset of public crawler canonicalizers — cf. the
+URL normalizations described in RFC 3986 §6):
+
+- scheme and host lowercased; leading ``www.`` dropped
+- default ports ``:80``/``:443`` dropped
+- fragment dropped
+- trailing slashes on a non-root path dropped
+- tracking params (``utm_*``, ``fbclid``, ``gclid``, ``ref``) dropped
+- remaining query params sorted (byte order), ``?`` dropped if none
+
+Everything is JVM-side regex/array expressions (codegen, no Python),
+and every regex is alternation/class-only so RE2 (DuckDB) and Java
+agree — the oracle query hash-verifies the whole chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ^scheme://hostport path query(fragment dropped by omission)
+_SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://.*$"
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*).*$"
+_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*).*$"
+_QUERY_RE = r"^[^?#]*\?([^#]*).*$"
+
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|ref)(=.*)?$"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of ``url`` per the module rules. Input must be
+    an absolute ``scheme://...`` URL; anything else canonicalizes to
+    itself lowercased-scheme-less (regexes extract empty groups)."""
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    host = F.lower(F.regexp_extract(url, _HOST_RE, 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    path = F.regexp_extract(url, _PATH_RE, 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    rawq = F.regexp_extract(url, _QUERY_RE, 1)
+    params = F.filter(
+        F.split(rawq, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    query = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
+    )
+
+
+def url_host(url: Column) -> Column:
+    """Registrable-host convenience: lowercased host, no www/port."""
+    host = F.lower(F.regexp_extract(url, _HOST_RE, 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    return F.regexp_replace(host, r":(80|443)$", "")

@@ -1391,6 +1391,81 @@ def q_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_url_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """URL-level crawl dedup (functions/urls.py): three deterministic
+    messy variants of every logical page url — uppercase host +
+    trailing slash, www+:443+tracking params+shuffled query, fragment —
+    must collapse to ONE canonical form. Reports per-host raw vs
+    canonical url counts; the oracle replays the identical regex chain
+    in DuckDB, so the hash compare verifies every rule."""
+    from dedupe_spark.functions.urls import canonical_url, url_host
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    base = F.col("doc_id").cast("long")
+    page = (base / 3).cast("long")
+    hostname = F.concat(F.lit("src"), (page % 7).cast("string"), F.lit(".example.com"))
+    stem = F.concat(F.lit("/page/"), page.cast("string"))
+    variant = (base % 3).cast("int")
+    url = (
+        F.when(
+            variant == 0,
+            F.concat(F.lit("https://"), F.upper(hostname), stem, F.lit("/?a=1&b=2")),
+        )
+        .when(
+            variant == 1,
+            F.concat(
+                F.lit("HTTPS://www."), hostname, F.lit(":443"), stem,
+                F.lit("?b=2&utm_source=feed&a=1"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("https://"), hostname, stem, F.lit("?a=1&b=2#sec2")))
+    )
+    canon = docs.select(canonical_url(url).alias("curl"))
+    return canon.groupBy(url_host(F.col("curl")).alias("host")).agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.countDistinct("curl").alias("n_canonical"),
+    )
+
+
+_DUCK_URL_CANON = """
+  SELECT lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://.*$', 1)) || '://'
+    || regexp_replace(regexp_replace(
+         lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*).*$', 1)),
+         '^www\\.', ''), ':(80|443)$', '')
+    || regexp_replace(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*).*$', 1), '/+$', '')
+    || CASE WHEN q = '' THEN '' ELSE '?' || q END AS curl
+  FROM (
+    SELECT url, coalesce(array_to_string(list_sort(list_filter(
+             string_split(regexp_extract(url, '^[^?#]*\\?([^#]*).*$', 1), '&'),
+             p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)(=.*)?$')
+           )), '&'), '') AS q
+    FROM urls
+  )
+"""
+
+SQL_URL_CANONICAL_DEDUP = f"""
+WITH urls AS (
+  SELECT CASE CAST(doc_id % 3 AS INT)
+    WHEN 0 THEN 'https://' || upper(h) || stem || '/?a=1&b=2'
+    WHEN 1 THEN 'HTTPS://www.' || h || ':443' || stem || '?b=2&utm_source=feed&a=1'
+    ELSE 'https://' || h || stem || '?a=1&b=2#sec2'
+  END AS url
+  FROM (
+    SELECT doc_id,
+           'src' || CAST((doc_id // 3) % 7 AS VARCHAR) || '.example.com' AS h,
+           '/page/' || CAST(doc_id // 3 AS VARCHAR) AS stem
+    FROM documents
+  )
+),
+canon AS ({_DUCK_URL_CANON})
+SELECT regexp_replace(regexp_replace(
+         lower(regexp_extract(curl, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*).*$', 1)),
+         '^www\\.', ''), ':(80|443)$', '') AS host,
+       count(*) AS n_raw, CAST(count(DISTINCT curl) AS BIGINT) AS n_canonical
+FROM canon GROUP BY 1
+"""
+
+
 SQL_SOURCE_OVERLAP = """
 WITH idx AS (
   SELECT source, t, unnest(generate_series(1, len(t) - 7)) AS i
@@ -1648,6 +1723,7 @@ QUERIES: dict[str, QueryFn] = {
     "lexical_diversity": q_lexical_diversity,
     "token_entropy": q_token_entropy,
     "source_overlap": q_source_overlap,
+    "url_canonical_dedup": q_url_canonical_dedup,
     "cc_clusters": q_cc_clusters,
     "cluster_size_histogram": q_cluster_size_histogram,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1711,6 +1787,7 @@ ORACLES: dict[str, str] = {
     "lexical_diversity": SQL_LEXICAL_DIVERSITY,
     "token_entropy": SQL_TOKEN_ENTROPY,
     "source_overlap": SQL_SOURCE_OVERLAP,
+    "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
     "cc_clusters": SQL_CC_CLUSTERS,
     "cluster_size_histogram": SQL_CLUSTER_SIZE_HISTOGRAM,
     # Rows-only (no ANSI-SQL oracle, Python oracles in pytest instead):

@@ -59,6 +59,8 @@ EXPECTATIONS = {
     "token_entropy": (["Generate"], ["CartesianProduct", "Window"]),
     # shingle-key equi-join; pairwise overlap must never cross-product
     "source_overlap": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # pure scalar regex/array chain + one groupBy — no join, no window
+    "url_canonical_dedup": ([], ["CartesianProduct", "Window", "Generate"]),
 }
 
 
