@@ -1391,6 +1391,79 @@ def q_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_shingle_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Directed containment near-dup (Broder '97 §2: containment
+    c(A,B) = |S(A)∩S(B)| / |S(A)|): catches A-quoted-inside-B and
+    boilerplate-wrapped copies that symmetric Jaccard misses. Shingle
+    equi-join on a 64-bit md5 prefix; shingles present in > max_df
+    docs are dropped BEFORE the join (the published guard — a
+    boilerplate shingle in m docs would fan out m², and at crawl scale
+    m reaches 10^6), mirrored exactly in the oracle."""
+    max_df, threshold = 256, 0.8
+    docs = load_table(spark, sf, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("t")).where(F.size("t") >= 8)
+    sh = (
+        t.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 7),"
+                    " i -> substring(md5(array_join(slice(t, i, 8), ' ')), 1, 16))"
+                )
+            ).alias("k"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    kept = sh.join(
+        sh.groupBy("k").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= max_df),
+        "k",
+        "left_semi",
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    shared = (
+        a.join(b, "k")
+        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("src_doc"), F.col("b.doc_id").alias("dst_doc")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "src_doc"), "src_doc")
+        .withColumn("containment", F.round(F.col("n_shared") / F.col("n_sh"), 6))
+        .where(F.col("containment") >= threshold)
+        .select("src_doc", "dst_doc", "containment")
+    )
+
+
+SQL_SHINGLE_CONTAINMENT_PAIRS = """
+WITH idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) WHERE len(t) >= 8
+),
+sh AS (
+  SELECT DISTINCT doc_id, substr(md5(array_to_string(t[i:i+7], ' ')), 1, 16) AS k
+  FROM idx
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+kept AS (
+  SELECT * FROM sh WHERE k IN (
+    SELECT k FROM sh GROUP BY k HAVING count(*) <= 256
+  )
+),
+shared AS (
+  SELECT a.doc_id AS src_doc, b.doc_id AS dst_doc, count(*) AS n_shared
+  FROM kept a JOIN kept b ON a.k = b.k AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT src_doc, dst_doc,
+       round(CAST(n_shared AS DOUBLE) / n_sh, 6) AS containment
+FROM shared JOIN sizes ON shared.src_doc = sizes.doc_id
+WHERE CAST(n_shared AS DOUBLE) / n_sh >= 0.8
+"""
+
+
 def q_url_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """URL-level crawl dedup (functions/urls.py): three deterministic
     messy variants of every logical page url — uppercase host +
@@ -1724,6 +1797,7 @@ QUERIES: dict[str, QueryFn] = {
     "token_entropy": q_token_entropy,
     "source_overlap": q_source_overlap,
     "url_canonical_dedup": q_url_canonical_dedup,
+    "shingle_containment_pairs": q_shingle_containment_pairs,
     "cc_clusters": q_cc_clusters,
     "cluster_size_histogram": q_cluster_size_histogram,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1788,6 +1862,7 @@ ORACLES: dict[str, str] = {
     "token_entropy": SQL_TOKEN_ENTROPY,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
+    "shingle_containment_pairs": SQL_SHINGLE_CONTAINMENT_PAIRS,
     "cc_clusters": SQL_CC_CLUSTERS,
     "cluster_size_histogram": SQL_CLUSTER_SIZE_HISTOGRAM,
     # Rows-only (no ANSI-SQL oracle, Python oracles in pytest instead):

@@ -61,6 +61,8 @@ EXPECTATIONS = {
     "source_overlap": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     # pure scalar regex/array chain + one groupBy — no join, no window
     "url_canonical_dedup": ([], ["CartesianProduct", "Window", "Generate"]),
+    # df-capped shingle equi-join; containment must never cross-product
+    "shingle_containment_pairs": (["LeftSemi"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
 }
 
 
