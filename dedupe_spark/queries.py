@@ -1391,6 +1391,83 @@ def q_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_rate_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl-feed health report: per source, how many docs are exact
+    duplicates of something (within or across sources) and the
+    resulting dedup rate. Two narrow aggregations — the md5 groupBy is
+    the same shuffle the exact-dedup collapse itself uses, so this
+    report is free as a side output of the dedup pass."""
+    docs = load_table(spark, sf, "documents")
+    reps = (
+        docs.select(F.md5("text").alias("m"), "doc_id")
+        .groupBy("m")
+        .agg(F.min("doc_id").alias("keeper"))
+    )
+    tagged = docs.select("source", "doc_id", F.md5("text").alias("m")).join(
+        reps, "m"
+    )
+    return tagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("doc_id") != F.col("keeper")).cast("long")).alias("n_dropped"),
+        F.round(
+            F.sum((F.col("doc_id") != F.col("keeper")).cast("long"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dedup_rate"),
+    )
+
+
+SQL_DEDUP_RATE_BY_SOURCE = """
+WITH reps AS (
+  SELECT md5(text) AS m, min(doc_id) AS keeper FROM documents GROUP BY 1
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN d.doc_id <> r.keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       round(CAST(sum(CASE WHEN d.doc_id <> r.keeper THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dedup_rate
+FROM documents d JOIN reps r ON md5(d.text) = r.m
+GROUP BY source
+"""
+
+
+def q_quality_percentile_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language quality gate: keep the top half of each language
+    by quality score (percent_rank over the (lang) partition — rank
+    semantics identical in Spark and DuckDB given a total order, so
+    the tie-break on doc_id makes the kept set deterministic). The
+    100-TB variant replaces the exact window with approx_percentile
+    thresholds computed once and broadcast as a plain filter."""
+    docs = load_table(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id", "lang", F.round(quality_score(F.col("text")), 6).alias("q")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("q").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .where(F.col("pr") <= 0.5)
+        .select("doc_id", "lang", "q")
+    )
+
+
+SQL_QUALITY_PERCENTILE_FILTER = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+    round(
+      (CASE WHEN len(toks) BETWEEN 20 AND 100000 THEN 0.4::DOUBLE ELSE 0.0 END)
+      + (CASE WHEN len(toks) > 0 AND len(list_filter(toks, x -> lower(x) IN {_DUCK_STOPS}))::DOUBLE / len(toks) >= 0.01
+              THEN 0.3::DOUBLE ELSE 0.0 END)
+      + (CASE WHEN len(toks) > 0
+                   AND list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) BETWEEN 2.0 AND 12.0
+              THEN 0.3::DOUBLE ELSE 0.0 END)
+    , 6) AS q
+  FROM (SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents)
+)
+SELECT doc_id, lang, q FROM (
+  SELECT *, percent_rank() OVER (PARTITION BY lang ORDER BY q DESC, doc_id ASC) AS pr
+  FROM s
+) WHERE pr <= 0.5
+"""
+
+
 def q_shingle_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Directed containment near-dup (Broder '97 §2: containment
     c(A,B) = |S(A)∩S(B)| / |S(A)|): catches A-quoted-inside-B and
@@ -1798,6 +1875,8 @@ QUERIES: dict[str, QueryFn] = {
     "source_overlap": q_source_overlap,
     "url_canonical_dedup": q_url_canonical_dedup,
     "shingle_containment_pairs": q_shingle_containment_pairs,
+    "dedup_rate_by_source": q_dedup_rate_by_source,
+    "quality_percentile_filter": q_quality_percentile_filter,
     "cc_clusters": q_cc_clusters,
     "cluster_size_histogram": q_cluster_size_histogram,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1863,6 +1942,8 @@ ORACLES: dict[str, str] = {
     "source_overlap": SQL_SOURCE_OVERLAP,
     "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
     "shingle_containment_pairs": SQL_SHINGLE_CONTAINMENT_PAIRS,
+    "dedup_rate_by_source": SQL_DEDUP_RATE_BY_SOURCE,
+    "quality_percentile_filter": SQL_QUALITY_PERCENTILE_FILTER,
     "cc_clusters": SQL_CC_CLUSTERS,
     "cluster_size_histogram": SQL_CLUSTER_SIZE_HISTOGRAM,
     # Rows-only (no ANSI-SQL oracle, Python oracles in pytest instead):

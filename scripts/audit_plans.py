@@ -63,6 +63,10 @@ EXPECTATIONS = {
     "url_canonical_dedup": ([], ["CartesianProduct", "Window", "Generate"]),
     # df-capped shingle equi-join; containment must never cross-product
     "shingle_containment_pairs": (["LeftSemi"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # md5 groupBy + equi-join back — no window, no cartesian
+    "dedup_rate_by_source": ([], ["CartesianProduct", "Window"]),
+    # single lang-partitioned window; no join
+    "quality_percentile_filter": (["Window"], ["CartesianProduct", "SortMergeJoin"]),
 }
 
 
