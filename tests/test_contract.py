@@ -23,20 +23,25 @@ def test_entry_module_exports():
 
 
 def test_oracles_reference_known_tables_only():
-    """Oracle SQL may only use the driver-registered views."""
+    """Oracle SQL may only use the driver-registered views or names the
+    query itself defines (CTEs / derived-table aliases)."""
     import re
 
     from dedupe_spark.sources.testdata import TABLES
 
     for name, sql in ORACLES.items():
-        froms = re.findall(r"(?:FROM|JOIN)\s+([a-z_]+)\b", sql, re.IGNORECASE)
+        ctes = {
+            c.lower()
+            for c in re.findall(r"([a-z_][a-z0-9_]*)\s+AS\s*\(", sql, re.IGNORECASE)
+        }
+        known = {t.lower() for t in TABLES} | ctes
+        # aliases: a token following a derived table ")" or a known name
+        # ("FROM sh a JOIN sh b", "FROM (...) e") — never a token right
+        # after FROM/JOIN itself, so unknown tables cannot self-whitelist
+        aliases = {a.lower() for a in re.findall(r"\)\s+([a-z_][a-z0-9_]*)", sql, re.IGNORECASE)}
+        for m in re.finditer(r"([a-z_][a-z0-9_]*)\s+([a-z_][a-z0-9_]*)", sql, re.IGNORECASE):
+            if m.group(1).lower() in known:
+                aliases.add(m.group(2).lower())
+        froms = re.findall(r"(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)\b", sql, re.IGNORECASE)
         for t in froms:
-            assert t in TABLES or t in (
-                "e", "q", "s", "t", "g", "a", "b", "d", "r",
-                "reach", "edges", "toks", "idx", "sh",
-                "bg", "cnt", "top", "split", "tr", "te",
-                "tr_idx", "tr_sh", "te_idx", "te_sh", "hits",
-            ), (
-                name,
-                t,
-            )
+            assert t.lower() in known or t.lower() in aliases, (name, t)
