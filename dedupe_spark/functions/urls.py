@@ -59,6 +59,39 @@ def canonical_url(url: Column) -> Column:
     )
 
 
+def dedup_fetches(
+    pages,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+):
+    """Crawl-level dedup: keep exactly one fetch per CANONICAL url —
+    the newest by ``ts_col`` (ties broken by the raw url, ascending,
+    so the survivor set is deterministic at any parallelism).
+
+    This is the stage every crawl pipeline runs before touching page
+    content: refetches and tracking-param/www/port/fragment variants
+    of one page never reach extraction or sketching. All other columns
+    pass through untouched — in particular the RAW url survives, so
+    downstream doc ids (xxhash64(url)) and the byte-identical
+    extraction contract are unaffected.
+
+    One shuffle on the canonical-url key. Skew per key is bounded by
+    the crawler's refetch count (not corpus size), so a plain window
+    is the right plan even at 10^12 pages.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_curl").orderBy(
+        F.col(ts_col).desc(), F.col(url_col).asc()
+    )
+    return (
+        pages.withColumn("_curl", canonical_url(F.col(url_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_curl", "_rn")
+    )
+
+
 def url_host(url: Column) -> Column:
     """Registrable-host convenience: lowercased host, no www/port."""
     host = F.lower(F.regexp_extract(url, _HOST_RE, 1))

@@ -83,6 +83,12 @@ class PipelineConfig:
     # reaches F1=1.0 on the planted corpus without it, and skipping the
     # extra corpus pass is the cheaper default.
     use_global_idf: bool = False
+    # crawl-level URL dedup ahead of S1: keep only the newest fetch per
+    # CANONICAL url (functions/urls.py — www/port/fragment/tracking-param
+    # variants and refetches collapse before any content work). Off by
+    # default: the synthetic corpus has one fetch per url, and real
+    # crawls opt in.
+    crawl_url_dedup: bool = False
     # fast_mode: materialize ONLY the expensive, resume-critical stages
     # (s5_scored — "never recompute scored pairs", north_rule — plus
     # s7_clusters and the tiny s8_report). s1-s4 are cheap recomputes
@@ -140,6 +146,11 @@ def run_pipeline(
         out[name] = df
         skipped[name] = was_skipped
         return df
+
+    if cfg.crawl_url_dedup:
+        from dedupe_spark.functions.urls import dedup_fetches
+
+        pages = dedup_fetches(pages)
 
     docs = stage("s1_docs", lambda: extract_docs(pages), "pages")
     if stop_after == "s1_docs":

@@ -45,6 +45,57 @@ def test_host_extraction(spark):
     assert df.select(url_host(F.col("url")).alias("h")).first()["h"] == "foo.example.com"
 
 
+def test_dedup_fetches_keeps_newest_per_canonical(spark):
+    from datetime import datetime
+
+    from dedupe_spark.functions.urls import dedup_fetches
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # three fetches of one canonical page: newest wins
+        ("https://example.com/a?utm_source=x", t(10), "old"),
+        ("https://WWW.example.com/a", t(30), "newest"),
+        ("https://example.com/a/", t(20), "mid"),
+        # tie on ts: raw-url ascending breaks it deterministically
+        ("https://example.com/b", t(5), "tie-b1"),
+        ("https://example.com/b#frag", t(5), "tie-b2"),
+        # unrelated page passes through
+        ("https://example.com/c", t(1), "only"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, body string")
+    got = {r["body"] for r in dedup_fetches(df).collect()}
+    assert got == {"newest", "tie-b1", "only"}
+
+
+def test_pipeline_crawl_url_dedup_suppresses_refetch_variants(spark, tmp_path):
+    import pyspark.sql.functions as SF
+
+    from dedupe_spark.corpus import generate_pages
+    from dedupe_spark.pipeline import PipelineConfig, run_pipeline
+
+    pages = generate_pages(spark, 200, seed=42).cache()
+    # refetch noise: 20 pages refetched with tracking-param urls, 1s
+    # OLDER timestamps (so the original fetch is the survivor), same html
+    noise = (
+        pages.limit(20)
+        .withColumn("url", SF.concat("url", SF.lit("?utm_source=feed&fbclid=z")))
+        .withColumn("warc_ts", SF.col("warc_ts") - SF.expr("INTERVAL 1 SECOND"))
+    )
+    noisy = pages.unionByName(noise)
+
+    base = run_pipeline(spark, pages, str(tmp_path / "base"))
+    on = run_pipeline(
+        spark, noisy, str(tmp_path / "on"), PipelineConfig(crawl_url_dedup=True)
+    )
+    off = run_pipeline(spark, noisy, str(tmp_path / "off"))
+
+    base_c = sorted(map(tuple, base["s7_clusters"].collect()))
+    on_c = sorted(map(tuple, on["s7_clusters"].collect()))
+    assert on_c == base_c  # variants never reach extraction
+    # without the flag the refetches become extra (exact-dup) docs
+    assert off["s7_clusters"].count() == len(base_c) + 20
+
+
 def test_variants_collapse_to_one(spark):
     variants = [
         "https://EXAMPLE.com/page/9/?a=1&b=2",
