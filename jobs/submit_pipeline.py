@@ -48,6 +48,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--threshold", type=float, default=0.5)
     p.add_argument("--fast-mode", action="store_true",
                    help="materialize only s5_scored/s7/s8 (fewer stage commits)")
+    p.add_argument("--crawl-url-dedup", action="store_true",
+                   help="pre-stage: keep only the newest fetch per canonical url")
     p.add_argument("--report-csv", default=None,
                    help="also write the s8 cluster report as ONE csv file here")
 
@@ -75,6 +77,7 @@ def main(argv: list[str] | None = None) -> int:
         salt_buckets=args.salt_buckets,
         threshold=args.threshold,
         fast_mode=args.fast_mode,
+        crawl_url_dedup=args.crawl_url_dedup,
     )
     t0 = time.time()
     out = run_pipeline(spark, pages, args.work_dir, config=cfg, stop_after=args.stop_after)
