@@ -1391,6 +1391,102 @@ def q_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_recrawl_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot-to-snapshot recrawl diff — the analytic twin of the
+    store-level tombstone refresh (StageIO.refresh_tombstones): two
+    deterministic snapshots are derived from the corpus (doc_id%10==9
+    absent from the old crawl → added; doc_id%10==8 absent from the
+    new crawl → removed; doc_id%7==0 changes content), then a
+    single full outer join on doc_id classifies every doc as
+    added/removed/changed/unchanged. One shuffle; at 10^12 docs both
+    snapshots are bucketed on doc_id so even that shuffle disappears
+    (sources/bucketed.py)."""
+    docs = load_table(spark, sf, "documents")
+    old = docs.where(F.col("doc_id") % 10 != 9).select(
+        "doc_id", F.md5("text").alias("old_md5")
+    )
+    new = docs.where(F.col("doc_id") % 10 != 8).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.md5(F.concat(F.lit("v2:"), F.col("text")))
+        )
+        .otherwise(F.md5("text"))
+        .alias("new_md5"),
+    )
+    j = old.join(new, "doc_id", "full_outer")
+    change = (
+        F.when(F.col("old_md5").isNull(), F.lit("added"))
+        .when(F.col("new_md5").isNull(), F.lit("removed"))
+        .when(F.col("old_md5") != F.col("new_md5"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.groupBy(change.alias("change_type")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+SQL_RECRAWL_DIFF = """
+WITH old AS (
+  SELECT doc_id, md5(text) AS old_md5 FROM documents WHERE doc_id % 10 <> 9
+),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN md5('v2:' || text) ELSE md5(text) END AS new_md5
+  FROM documents WHERE doc_id % 10 <> 8
+)
+SELECT CASE
+         WHEN old_md5 IS NULL THEN 'added'
+         WHEN new_md5 IS NULL THEN 'removed'
+         WHEN old_md5 <> new_md5 THEN 'changed'
+         ELSE 'unchanged'
+       END AS change_type,
+       count(*) AS n_docs
+FROM old FULL OUTER JOIN new USING (doc_id)
+GROUP BY 1
+"""
+
+
+def q_table_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-quality profile of the documents table (the ANALYZE-style
+    pass a pipeline runs before trusting a new snapshot): per column —
+    null fraction, distinct count, and min/max length. Exact distinct
+    here so the oracle hash-matches; the 100-TB twin swaps in
+    approx_count_distinct (HLL++) with identical plan shape. One
+    single-pass aggregate, no shuffle beyond the final reduce."""
+    docs = load_table(spark, sf, "documents")
+
+    def prof(col: str):
+        c = F.col(col).cast("string")
+        return [
+            F.round(F.sum(c.isNull().cast("long")) / F.count(F.lit(1)), 6).alias(
+                f"{col}_null_frac"
+            ),
+            F.count_distinct(c).alias(f"{col}_distinct"),
+            F.min(F.length(c)).alias(f"{col}_min_len"),
+            F.max(F.length(c)).alias(f"{col}_max_len"),
+        ]
+
+    aggs = []
+    for col in ("text", "lang", "source"):
+        aggs.extend(prof(col))
+    return docs.agg(*aggs)
+
+
+SQL_TABLE_PROFILE = """
+SELECT
+  round(CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS text_null_frac,
+  CAST(count(DISTINCT text) AS BIGINT) AS text_distinct,
+  min(length(text)) AS text_min_len, max(length(text)) AS text_max_len,
+  round(CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS lang_null_frac,
+  CAST(count(DISTINCT lang) AS BIGINT) AS lang_distinct,
+  min(length(lang)) AS lang_min_len, max(length(lang)) AS lang_max_len,
+  round(CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS source_null_frac,
+  CAST(count(DISTINCT source) AS BIGINT) AS source_distinct,
+  min(length(source)) AS source_min_len, max(length(source)) AS source_max_len
+FROM documents
+"""
+
+
 def q_dedup_rate_by_source(spark: SparkSession, sf: str) -> DataFrame:
     """Crawl-feed health report: per source, how many docs are exact
     duplicates of something (within or across sources) and the
@@ -1877,6 +1973,8 @@ QUERIES: dict[str, QueryFn] = {
     "shingle_containment_pairs": q_shingle_containment_pairs,
     "dedup_rate_by_source": q_dedup_rate_by_source,
     "quality_percentile_filter": q_quality_percentile_filter,
+    "recrawl_diff": q_recrawl_diff,
+    "table_profile": q_table_profile,
     "cc_clusters": q_cc_clusters,
     "cluster_size_histogram": q_cluster_size_histogram,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1944,6 +2042,8 @@ ORACLES: dict[str, str] = {
     "shingle_containment_pairs": SQL_SHINGLE_CONTAINMENT_PAIRS,
     "dedup_rate_by_source": SQL_DEDUP_RATE_BY_SOURCE,
     "quality_percentile_filter": SQL_QUALITY_PERCENTILE_FILTER,
+    "recrawl_diff": SQL_RECRAWL_DIFF,
+    "table_profile": SQL_TABLE_PROFILE,
     "cc_clusters": SQL_CC_CLUSTERS,
     "cluster_size_histogram": SQL_CLUSTER_SIZE_HISTOGRAM,
     # Rows-only (no ANSI-SQL oracle, Python oracles in pytest instead):

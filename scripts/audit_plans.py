@@ -67,6 +67,10 @@ EXPECTATIONS = {
     "dedup_rate_by_source": ([], ["CartesianProduct", "Window"]),
     # single lang-partitioned window; no join
     "quality_percentile_filter": (["Window"], ["CartesianProduct", "SortMergeJoin"]),
+    # one full-outer equi-join on doc_id; never cartesian
+    "recrawl_diff": ([], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"]),
+    # single-pass aggregate — no join, no window, no explode
+    "table_profile": ([], ["CartesianProduct", "Window", "Generate", "SortMergeJoin"]),
 }
 
 
