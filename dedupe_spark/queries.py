@@ -1391,6 +1391,36 @@ def q_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label embedding centroids (the IVF coarse-quantizer /
+    class-prototype computation in long form): posexplode the vector
+    once, average per (label, dimension). One shuffle on a
+    (label, dim) key — cardinality |labels|×dim regardless of corpus
+    size, so partial aggregation collapses everything map-side; the
+    same plan at 100 TB never materializes more than that."""
+    emb = load_table(spark, sf, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("v"), 6).alias("centroid_v"),
+        )
+    )
+
+
+SQL_EMBEDDING_CENTROIDS = """
+SELECT label, i - 1 AS dim, count(*) AS n_vecs,
+       round(avg(v), 6) AS centroid_v
+FROM (
+  SELECT label, unnest(embedding) AS v,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+)
+GROUP BY label, i - 1
+"""
+
+
 def q_recrawl_diff(spark: SparkSession, sf: str) -> DataFrame:
     """Snapshot-to-snapshot recrawl diff — the analytic twin of the
     store-level tombstone refresh (StageIO.refresh_tombstones): two
@@ -1975,6 +2005,7 @@ QUERIES: dict[str, QueryFn] = {
     "quality_percentile_filter": q_quality_percentile_filter,
     "recrawl_diff": q_recrawl_diff,
     "table_profile": q_table_profile,
+    "embedding_centroids": q_embedding_centroids,
     "cc_clusters": q_cc_clusters,
     "cluster_size_histogram": q_cluster_size_histogram,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -2044,6 +2075,7 @@ ORACLES: dict[str, str] = {
     "quality_percentile_filter": SQL_QUALITY_PERCENTILE_FILTER,
     "recrawl_diff": SQL_RECRAWL_DIFF,
     "table_profile": SQL_TABLE_PROFILE,
+    "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "cc_clusters": SQL_CC_CLUSTERS,
     "cluster_size_histogram": SQL_CLUSTER_SIZE_HISTOGRAM,
     # Rows-only (no ANSI-SQL oracle, Python oracles in pytest instead):

@@ -71,6 +71,8 @@ EXPECTATIONS = {
     "recrawl_diff": ([], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"]),
     # single-pass aggregate — no join, no window, no explode
     "table_profile": ([], ["CartesianProduct", "Window", "Generate", "SortMergeJoin"]),
+    # posexplode + bounded-cardinality groupBy; no join
+    "embedding_centroids": (["Generate"], ["CartesianProduct", "SortMergeJoin", "Window"]),
 }
 
 

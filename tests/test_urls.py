@@ -38,6 +38,22 @@ def test_rule_table(spark):
         assert g == want, f"{u!r}: got {g!r}, want {want!r}"
 
 
+def test_canonicalization_is_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u) over generated urls —
+    the property that makes re-running the crawl dedup stage safe."""
+    import itertools
+
+    schemes = ["http://", "HTTPS://"]
+    hosts = ["example.com", "WWW.Example.com:443", "a.b.co:8080"]
+    paths = ["", "/", "/x/y/", "/A"]
+    queries = ["", "?b=2&a=1", "?utm_source=x", "?gclid=1&z=9#f", "#only"]
+    urls = ["".join(p) for p in itertools.product(schemes, hosts, paths, queries)]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(canonical_url(F.col("url")).alias("c"))
+    twice = once.select(canonical_url(F.col("c")).alias("c2"), "c")
+    assert twice.where(F.col("c") != F.col("c2")).count() == 0
+
+
 def test_host_extraction(spark):
     df = spark.createDataFrame(
         [("HTTP://WWW.Foo.Example.com:80/x?y#z",)], "url string"
