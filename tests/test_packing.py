@@ -78,6 +78,26 @@ def test_empty_input(spark):
     assert out.count() == 0 and "shard_id" in out.columns
 
 
+def test_fuzz_against_naive(spark):
+    """Seeded fuzz: arbitrary unique int64 ids (clustered, sparse, and
+    sign-mixed), zero-inclusive weights, varied budgets and bucket
+    counts — every case must match the naive cumsum exactly."""
+    import random
+
+    rnd = random.Random(42)
+    for _ in range(25):
+        n = rnd.randint(1, 60)
+        # 2**61 keeps len(range(-span, span)) under the C ssize_t cap
+        span = rnd.choice([100, 10**6, 2**61])
+        oids = rnd.sample(range(-span, span), n)
+        rows = [(o, rnd.randint(0, 10_000)) for o in oids]
+        budget = rnd.randint(1, 5_000)
+        nb = rnd.choice([1, 3, 16, 1024])
+        df = spark.createDataFrame(rows, "oid long, w long")
+        got = collect_shards(pack_shards(df, "oid", "w", budget=budget, n_buckets=nb))
+        assert got == naive_shards(rows, budget), (budget, nb, rows)
+
+
 def test_validation(spark):
     df = spark.createDataFrame([(1, 1)], "oid long, w long")
     with pytest.raises(ValueError, match="budget"):
