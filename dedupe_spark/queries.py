@@ -1560,8 +1560,10 @@ def q_quality_percentile_filter(spark: SparkSession, sf: str) -> DataFrame:
     by quality score (percent_rank over the (lang) partition — rank
     semantics identical in Spark and DuckDB given a total order, so
     the tie-break on doc_id makes the kept set deterministic). The
-    100-TB variant replaces the exact window with approx_percentile
-    thresholds computed once and broadcast as a plain filter."""
+    100-TB variant is `operators/quality.py:quantile_gate` —
+    approx_percentile thresholds computed in one pass and broadcast as
+    a plain filter (no stratum sort); tested against this exact
+    formulation in tests/test_quality_gate.py."""
     docs = load_table(spark, sf, "documents")
     scored = docs.select(
         "doc_id", "lang", F.round(quality_score(F.col("text")), 6).alias("q")
