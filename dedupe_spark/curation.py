@@ -1,0 +1,143 @@
+"""End-to-end training-corpus curation: the LLM-data counterpart of
+the ER pipeline, composing the catalog's operators into one job.
+
+  docs(doc_id, text, lang)
+    ─ C1 score:    heuristic quality per doc (functions/text.py)
+    ─ C2 exact:    md5 collapse, KEEP-BEST copy (quality desc, doc_id
+                   asc) — the 10^6-copy boilerplate block costs one
+                   groupBy, never pairwise work
+    ─ C3 near:     MinHash-LSH band keys → skew-safe candidate pairs →
+                   token-Jaccard refine (Arrow-batched UDF on
+                   candidates only) → connected components → keep the
+                   best-quality doc per near-dup cluster
+    ─ C4 gate:     per-language quality gate (broadcast
+                   approx-percentile thresholds — no stratum sort)
+    ─ C5 shards:   token counting + token-budget shard packing
+                   (distributed prefix sum)
+
+Every stage is a lazy DataFrame transform; nothing is collected. The
+shuffles are: one md5 groupBy (C2), the band-key join + doc_id
+attach joins + CC rounds (C3), one tiny threshold aggregate (C4), and
+the prefix-sum window pair (C5) — each individually audited by the
+catalog queries this job composes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dedupe_spark.functions.similarity import token_jaccard_udf
+from dedupe_spark.functions.text import quality_score, token_count
+from dedupe_spark.operators.blocking import block_keys
+from dedupe_spark.operators.cc import assign_all
+from dedupe_spark.operators.packing import pack_shards
+from dedupe_spark.operators.pairs import attach_texts, generate_pairs
+from dedupe_spark.operators.quality import quantile_gate
+
+
+@dataclass
+class CurationConfig:
+    n_bands: int = 32
+    rows_per_band: int = 3
+    hot_threshold: int = 1000
+    salt_buckets: int = 16
+    # token-Jaccard refine threshold for a candidate pair to count as
+    # a near-duplicate (0.8 is the standard MinHash-dedup operating
+    # point, cf. Lee et al. 2021)
+    jaccard_threshold: float = 0.8
+    # per-language kept fraction by quality (1.0 disables the gate)
+    keep_top: float = 1.0
+    # tokens per training shard
+    shard_tokens: int = 100_000
+
+
+def curate_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    config: CurationConfig | None = None,
+) -> dict[str, DataFrame]:
+    """Curate ``docs(doc_id, text, lang)`` → deduped, gated, sharded.
+
+    Returns the stage DataFrames: ``scored``, ``exact`` (post exact
+    dedup), ``near_edges``, ``deduped`` (post near dedup), ``gated``,
+    ``shards`` (final docs with ``shard_id``), and ``shard_report``
+    (per-shard doc/token rollup). Deterministic at any parallelism —
+    ids, hashes, and tie-breaks are all content/key-driven.
+    """
+    cfg = config or CurationConfig()
+    out: dict[str, DataFrame] = {}
+
+    # C1 — quality scoring (pure JVM expressions)
+    scored = docs.select(
+        "doc_id", "text", "lang",
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+    )
+    out["scored"] = scored
+
+    # C2 — exact dedup, keep-best copy (same shape as canonical_docs)
+    w_exact = Window.partitionBy("_md5").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    exact = (
+        scored.withColumn("_md5", F.md5("text"))
+        .withColumn("_rn", F.row_number().over(w_exact))
+        .where(F.col("_rn") == 1)
+        .drop("_md5", "_rn")
+    )
+    out["exact"] = exact
+
+    # C3 — near-dup suppression on the exact survivors
+    keys = block_keys(
+        exact.select("doc_id", "text"),
+        use_minhash=True,
+        use_simhash=False,
+        n_bands=cfg.n_bands,
+        rows_per_band=cfg.rows_per_band,
+    )
+    pairs, _capped = generate_pairs(
+        keys, hot_threshold=cfg.hot_threshold, salt_buckets=cfg.salt_buckets
+    )
+    near_edges = (
+        attach_texts(pairs, exact.select("doc_id", "text"))
+        .withColumn("_j", token_jaccard_udf(F.col("text1"), F.col("text2")))
+        .where(F.col("_j") >= cfg.jaccard_threshold)
+        .select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    )
+    out["near_edges"] = near_edges
+    clusters = assign_all(
+        exact.select(F.col("doc_id").alias("node")), near_edges
+    ).select(F.col("node").alias("doc_id"), "cluster_id")
+    w_near = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    deduped = (
+        exact.join(clusters, "doc_id")
+        .withColumn("_rn", F.row_number().over(w_near))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "cluster_id")
+    )
+    out["deduped"] = deduped
+
+    # C4 — per-language quality gate (scale path: broadcast thresholds)
+    gated = (
+        quantile_gate(deduped, "quality", "lang", keep_top=cfg.keep_top)
+        if cfg.keep_top < 1.0
+        else deduped
+    )
+    out["gated"] = gated
+
+    # C5 — token counting + shard packing
+    counted = gated.withColumn("n_tokens", token_count(F.col("text")))
+    shards = pack_shards(
+        counted, order_col="doc_id", weight_col="n_tokens",
+        budget=cfg.shard_tokens,
+    )
+    out["shards"] = shards
+    out["shard_report"] = shards.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    return out

@@ -1,0 +1,63 @@
+"""spark-submit entry: curate a documents table into training shards.
+
+  spark-submit --py-files dist/dedupe_spark.zip jobs/curate_corpus.py \
+      --input /data/documents.parquet --output /data/shards \
+      --keep-top 0.9 --shard-tokens 100000000
+
+Input schema: (doc_id long, text string, lang string) — extra columns
+are ignored. Output: parquet partitioned by shard_id (each partition
+≈ --shard-tokens tokens of deduped, quality-gated text) and one JSON
+stats line on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="documents parquet path")
+    p.add_argument("--output", required=True, help="shard output dir")
+    p.add_argument("--keep-top", type=float, default=1.0,
+                   help="per-language kept fraction by quality (1.0 = no gate)")
+    p.add_argument("--shard-tokens", type=int, default=100_000,
+                   help="token budget per training shard")
+    p.add_argument("--jaccard-threshold", type=float, default=0.8)
+    p.add_argument("--hot-threshold", type=int, default=1000)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from dedupe_spark.curation import CurationConfig, curate_corpus
+
+    spark = SparkSession.builder.appName("dedupe_spark_curate").getOrCreate()
+    docs = spark.read.parquet(args.input).select("doc_id", "text", "lang")
+    cfg = CurationConfig(
+        keep_top=args.keep_top,
+        shard_tokens=args.shard_tokens,
+        jaccard_threshold=args.jaccard_threshold,
+        hot_threshold=args.hot_threshold,
+    )
+    t0 = time.time()
+    out = curate_corpus(spark, docs, cfg)
+    out["shards"].write.mode("overwrite").partitionBy("shard_id").parquet(args.output)
+    report = {
+        int(r["shard_id"]): (int(r["n_docs"]), int(r["total_tokens"]))
+        for r in out["shard_report"].collect()
+    }
+    stats = {
+        "wall_sec": round(time.time() - t0, 1),
+        "n_input_docs": docs.count(),
+        "n_output_docs": sum(n for n, _ in report.values()),
+        "n_shards": len(report),
+        "total_tokens": sum(t for _, t in report.values()),
+    }
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
