@@ -1391,6 +1391,22 @@ def q_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """Full corpus-curation chain (curation.py) over the documents
+    table: exact keep-best dedup → MinHash near-dup suppression with
+    token-Jaccard refine and CC → per-lang quality gate → token-budget
+    shard packing; returns the per-shard rollup. Rows-only (the
+    MinHash sketch UDF is not ANSI-SQL-expressible); the planted-
+    corpus oracle lives in tests/test_curation.py."""
+    from dedupe_spark.curation import CurationConfig, curate_corpus
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    out = curate_corpus(
+        spark, docs, CurationConfig(keep_top=0.9, shard_tokens=5_000)
+    )
+    return out["shard_report"]
+
+
 def q_embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:
     """Per-label embedding centroids (the IVF coarse-quantizer /
     class-prototype computation in long form): posexplode the vector
@@ -2008,6 +2024,7 @@ QUERIES: dict[str, QueryFn] = {
     "recrawl_diff": q_recrawl_diff,
     "table_profile": q_table_profile,
     "embedding_centroids": q_embedding_centroids,
+    "curation_pipeline": q_curation_pipeline,
     "cc_clusters": q_cc_clusters,
     "cluster_size_histogram": q_cluster_size_histogram,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
