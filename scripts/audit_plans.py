@@ -93,10 +93,27 @@ def main() -> int:
         plan = buf.getvalue()
         missing = [w for w in want if w not in plan]
         present = [f for f in forbid if f in plan]
-        # column pruning check: ReadSchema should not include every column
-        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        # column pruning check: ReadSchema should not include every column.
+        # Count TOP-LEVEL fields: split on commas at angle-bracket depth 0
+        # (a plain ':' count over a non-greedy match truncates nested
+        # types like array<float> and under-reports those scans).
+        schemas = re.findall(r"ReadSchema: struct<(.*)", plan)
+
+        def n_top_fields(s: str) -> int:
+            depth, fields = 0, 0
+            for ch in s:
+                if ch == "<":
+                    depth += 1
+                elif ch == ">":
+                    if depth == 0:
+                        break
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    fields += 1
+            return 0 if s.startswith(">") else fields + 1
+
         status = "OK " if not missing and not present else "FAIL"
-        print(f"{name:26s} {status}  read_cols={[s.count(':') for s in schemas]}")
+        print(f"{name:26s} {status}  read_cols={[n_top_fields(s) for s in schemas]}")
         if missing:
             print(f"    missing: {missing}")
         if present:
