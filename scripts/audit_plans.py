@@ -73,6 +73,9 @@ EXPECTATIONS = {
     "table_profile": ([], ["CartesianProduct", "Window", "Generate", "SortMergeJoin"]),
     # posexplode + bounded-cardinality groupBy; no join
     "embedding_centroids": (["Generate"], ["CartesianProduct", "SortMergeJoin", "Window"]),
+    # full curation chain: every join is keyed (md5/band/doc_id/lang) —
+    # a cartesian anywhere in the composition is a bug
+    "curation_pipeline": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
 }
 
 
