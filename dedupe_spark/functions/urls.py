@@ -26,6 +26,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # ^scheme://hostport path query(fragment dropped by omission)
+_ABS_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://"
 _SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://.*$"
 _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*).*$"
 _PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*).*$"
@@ -34,10 +35,19 @@ _QUERY_RE = r"^[^?#]*\?([^#]*).*$"
 TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|ref)(=.*)?$"
 
 
+def is_absolute_url(url: Column) -> Column:
+    """True iff ``url`` starts with a ``scheme://`` prefix — the
+    precondition for ``canonical_url`` to be meaningful."""
+    return url.rlike(_ABS_RE)
+
+
 def canonical_url(url: Column) -> Column:
     """Canonical form of ``url`` per the module rules. Input must be
-    an absolute ``scheme://...`` URL; anything else canonicalizes to
-    itself lowercased-scheme-less (regexes extract empty groups)."""
+    an absolute ``scheme://...`` URL; anything else degenerates to
+    ``'://'`` (+ any ``?query``) because every component regex extracts
+    an empty group — callers that may see malformed urls must gate on
+    ``is_absolute_url`` first (``dedup_fetches`` does), or distinct
+    malformed rows would collapse into one canonical group."""
     scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
     host = F.lower(F.regexp_extract(url, _HOST_RE, 1))
     host = F.regexp_replace(host, r"^www\.", "")
@@ -78,14 +88,21 @@ def dedup_fetches(
     One shuffle on the canonical-url key. Skew per key is bounded by
     the crawler's refetch count (not corpus size), so a plain window
     is the right plan even at 10^12 pages.
+
+    Malformed (non-absolute) urls are grouped by their RAW string, not
+    canonicalized — canonical_url degenerates to '://' on them, which
+    would silently collapse every malformed row into one group.
     """
     from pyspark.sql import Window
 
+    curl = F.when(
+        is_absolute_url(F.col(url_col)), canonical_url(F.col(url_col))
+    ).otherwise(F.col(url_col))
     w = Window.partitionBy("_curl").orderBy(
         F.col(ts_col).desc(), F.col(url_col).asc()
     )
     return (
-        pages.withColumn("_curl", canonical_url(F.col(url_col)))
+        pages.withColumn("_curl", curl)
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_curl", "_rn")

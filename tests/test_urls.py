@@ -38,6 +38,26 @@ def test_rule_table(spark):
         assert g == want, f"{u!r}: got {g!r}, want {want!r}"
 
 
+def test_malformed_urls_never_collapse_together(spark):
+    """Distinct malformed urls must each survive dedup_fetches —
+    canonical_url degenerates to '://' on them, so the gate on
+    is_absolute_url is what prevents silent data loss."""
+    from datetime import datetime
+
+    from dedupe_spark.functions.urls import dedup_fetches
+
+    rows = [
+        ("", datetime(2024, 1, 1), "empty"),
+        ("not a url", datetime(2024, 1, 1), "junk1"),
+        ("example.com/a", datetime(2024, 1, 1), "schemeless"),
+        ("//proto-relative.com/x", datetime(2024, 1, 1), "protorel"),
+        ("https://ok.com/a", datetime(2024, 1, 1), "good"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, body string")
+    got = {r["body"] for r in dedup_fetches(df).collect()}
+    assert got == {"empty", "junk1", "schemeless", "protorel", "good"}
+
+
 def test_canonicalization_is_idempotent(spark):
     """canonical(canonical(u)) == canonical(u) over generated urls —
     the property that makes re-running the crawl dedup stage safe."""
