@@ -24,6 +24,7 @@ catalog queries this job composes.
 
 from __future__ import annotations
 
+import itertools
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -36,6 +37,14 @@ from dedupe_spark.operators.cc import assign_all
 from dedupe_spark.operators.packing import pack_shards
 from dedupe_spark.operators.pairs import attach_texts, generate_pairs
 from dedupe_spark.operators.quality import quantile_gate
+from dedupe_spark.sources.checkpoints import materialize
+
+
+# per-invocation scratch suffix: two curate_corpus results held at the
+# same time must not alias one scratch dir (the second write would
+# corrupt the first result's still-lazy plan); the cost is one small
+# scratch dir per invocation under /tmp, reclaimed on process exit
+_SCRATCH_SEQ = itertools.count()
 
 
 @dataclass
@@ -69,6 +78,7 @@ def curate_corpus(
     """
     cfg = config or CurationConfig()
     out: dict[str, DataFrame] = {}
+    seq = next(_SCRATCH_SEQ)
 
     # C1 — quality scoring (pure JVM expressions)
     scored = docs.select(
@@ -81,11 +91,16 @@ def curate_corpus(
     w_exact = Window.partitionBy("_md5").orderBy(
         F.col("quality").desc(), F.col("doc_id").asc()
     )
-    exact = (
+    # materialized (checkpoint-to-scratch, not .persist — no storage
+    # leak): C3 consumes `exact` from FOUR plan branches (band keys,
+    # both text-attach joins, the CC node set, the cluster join); an
+    # unmaterialized plan re-runs the md5 window per branch
+    exact = materialize(
         scored.withColumn("_md5", F.md5("text"))
         .withColumn("_rn", F.row_number().over(w_exact))
         .where(F.col("_rn") == 1)
-        .drop("_md5", "_rn")
+        .drop("_md5", "_rn"),
+        f"curation_exact_{seq}",
     )
     out["exact"] = exact
 
@@ -129,8 +144,13 @@ def curate_corpus(
     )
     out["gated"] = gated
 
-    # C5 — token counting + shard packing
-    counted = gated.withColumn("n_tokens", token_count(F.col("text")))
+    # C5 — token counting + shard packing. pack_shards consumes its
+    # input from three plan branches (min/max bounds, bucket partials,
+    # final join) — materialize so the dedup+gate chain runs once
+    counted = materialize(
+        gated.withColumn("n_tokens", token_count(F.col("text"))),
+        f"curation_counted_{seq}",
+    )
     shards = pack_shards(
         counted, order_col="doc_id", weight_col="n_tokens",
         budget=cfg.shard_tokens,
