@@ -1391,6 +1391,99 @@ def q_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_domain_balance_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain balancing: cap every source at its K best-quality docs
+    (deterministic doc_id tiebreak) — the standard guard against one
+    crawler feed dominating the training mix. One window shuffle on
+    source; at 10^12 docs the same cap runs as a per-source top-K
+    aggregate (TakeOrdered per key), never a global sort."""
+    k = 40
+    docs = load_table(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id", "source", F.round(quality_score(F.col("text")), 6).alias("q")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("q").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("doc_id", "source", "q")
+    )
+
+
+SQL_DOMAIN_BALANCE_CAP = f"""
+WITH s AS (
+  SELECT doc_id, source,
+    round(
+      (CASE WHEN len(toks) BETWEEN 20 AND 100000 THEN 0.4::DOUBLE ELSE 0.0 END)
+      + (CASE WHEN len(toks) > 0 AND len(list_filter(toks, x -> lower(x) IN {_DUCK_STOPS}))::DOUBLE / len(toks) >= 0.01
+              THEN 0.3::DOUBLE ELSE 0.0 END)
+      + (CASE WHEN len(toks) > 0
+                   AND list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) BETWEEN 2.0 AND 12.0
+              THEN 0.3::DOUBLE ELSE 0.0 END)
+    , 6) AS q
+  FROM (SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents)
+)
+SELECT doc_id, source, q FROM (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id ASC) AS rn
+  FROM s
+) WHERE rn <= 40
+"""
+
+
+def q_shingle_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Marginal-novelty score: fraction of each doc's distinct 8-token
+    shingles whose FIRST occurrence (by doc_id order) is that doc —
+    the value a doc adds to an incrementally deduped corpus (a pure
+    re-paste scores 0). First-seen is a min(doc_id) aggregate per
+    shingle key — no ordered scan, fully parallel; the per-doc
+    fraction is one more groupBy on the same md5-prefix key family the
+    other shingle ops shuffle on."""
+    docs = load_table(spark, sf, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("t")).where(F.size("t") >= 8)
+    sh = (
+        t.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 7),"
+                    " i -> substring(md5(array_join(slice(t, i, 8), ' ')), 1, 16))"
+                )
+            ).alias("k"),
+        )
+        .distinct()
+    )
+    first = sh.groupBy("k").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "k")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.round(
+                F.sum((F.col("doc_id") == F.col("first_doc")).cast("long"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+SQL_SHINGLE_NOVELTY = """
+WITH idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) WHERE len(t) >= 8
+),
+sh AS (
+  SELECT DISTINCT doc_id, substr(md5(array_to_string(t[i:i+7], ' ')), 1, 16) AS k
+  FROM idx
+),
+first AS (SELECT k, min(doc_id) AS first_doc FROM sh GROUP BY k)
+SELECT doc_id, count(*) AS n_shingles,
+       round(CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS novelty
+FROM sh JOIN first USING (k)
+GROUP BY doc_id
+"""
+
+
 def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """Full corpus-curation chain (curation.py) over the documents
     table: exact keep-best dedup → MinHash near-dup suppression with
@@ -2024,6 +2117,8 @@ QUERIES: dict[str, QueryFn] = {
     "recrawl_diff": q_recrawl_diff,
     "table_profile": q_table_profile,
     "embedding_centroids": q_embedding_centroids,
+    "domain_balance_cap": q_domain_balance_cap,
+    "shingle_novelty": q_shingle_novelty,
     "curation_pipeline": q_curation_pipeline,
     "cc_clusters": q_cc_clusters,
     "cluster_size_histogram": q_cluster_size_histogram,
@@ -2095,6 +2190,8 @@ ORACLES: dict[str, str] = {
     "recrawl_diff": SQL_RECRAWL_DIFF,
     "table_profile": SQL_TABLE_PROFILE,
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
+    "domain_balance_cap": SQL_DOMAIN_BALANCE_CAP,
+    "shingle_novelty": SQL_SHINGLE_NOVELTY,
     "cc_clusters": SQL_CC_CLUSTERS,
     "cluster_size_histogram": SQL_CLUSTER_SIZE_HISTOGRAM,
     # Rows-only (no ANSI-SQL oracle, Python oracles in pytest instead):

@@ -76,6 +76,10 @@ EXPECTATIONS = {
     # full curation chain: every join is keyed (md5/band/doc_id/lang) —
     # a cartesian anywhere in the composition is a bug
     "curation_pipeline": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # one source-partitioned window; no join
+    "domain_balance_cap": (["Window"], ["CartesianProduct", "SortMergeJoin"]),
+    # first-seen agg + shingle-key equi-join; no window, no cartesian
+    "shingle_novelty": ([], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"]),
 }
 
 
