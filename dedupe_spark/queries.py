@@ -1391,6 +1391,58 @@ def q_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_bigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-LM quality proxy (the KenLM-filter shape): per doc, the
+    mean surprisal -ln p(bigram) under the corpus unigram-of-bigrams
+    model — low = formulaic/boilerplate, high = rare content. Two
+    aggregations over an md5-prefix bigram key + one equi-join; the
+    model total is an O(1)-row driver aggregate (same cost class as
+    pack_shards' min/max), NOT a 1-row crossJoin, which would plan a
+    BroadcastNestedLoopJoin."""
+    import math
+
+    docs = load_table(spark, sf, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("t")).where(F.size("t") >= 2)
+    bi = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> substring(md5(array_join(slice(t, i, 2), ' ')), 1, 16))"
+            )
+        ).alias("bg"),
+    )
+    freq = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("n")).first()["n"]
+    return (
+        bi.join(freq, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.lit(float(math.log(total))) - F.avg(F.log("c")), 6
+            ).alias("surprisal"),
+        )
+    )
+
+
+SQL_BIGRAM_SURPRISAL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+bi AS (
+  SELECT doc_id, substr(md5(array_to_string(t[i:i+1], ' ')), 1, 16) AS bg
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM t)
+),
+freq AS (SELECT bg, count(*) AS c FROM bi GROUP BY bg)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(ln((SELECT sum(c) FROM freq)) - avg(ln(c)), 6) AS surprisal
+FROM bi JOIN freq USING (bg)
+GROUP BY doc_id
+"""
+
+
 def q_domain_balance_cap(spark: SparkSession, sf: str) -> DataFrame:
     """Domain balancing: cap every source at its K best-quality docs
     (deterministic doc_id tiebreak) — the standard guard against one
@@ -2119,6 +2171,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_centroids": q_embedding_centroids,
     "domain_balance_cap": q_domain_balance_cap,
     "shingle_novelty": q_shingle_novelty,
+    "bigram_surprisal": q_bigram_surprisal,
     "curation_pipeline": q_curation_pipeline,
     "cc_clusters": q_cc_clusters,
     "cluster_size_histogram": q_cluster_size_histogram,
@@ -2192,6 +2245,7 @@ ORACLES: dict[str, str] = {
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "domain_balance_cap": SQL_DOMAIN_BALANCE_CAP,
     "shingle_novelty": SQL_SHINGLE_NOVELTY,
+    "bigram_surprisal": SQL_BIGRAM_SURPRISAL,
     "cc_clusters": SQL_CC_CLUSTERS,
     "cluster_size_histogram": SQL_CLUSTER_SIZE_HISTOGRAM,
     # Rows-only (no ANSI-SQL oracle, Python oracles in pytest instead):

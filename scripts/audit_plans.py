@@ -80,6 +80,8 @@ EXPECTATIONS = {
     "domain_balance_cap": (["Window"], ["CartesianProduct", "SortMergeJoin"]),
     # first-seen agg + shingle-key equi-join; no window, no cartesian
     "shingle_novelty": ([], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"]),
+    # corpus total is a driver scalar, NOT a 1-row crossJoin — BNLJ banned
+    "bigram_surprisal": ([], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"]),
 }
 
 
