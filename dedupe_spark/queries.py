@@ -1412,7 +1412,11 @@ def q_bigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("bg"),
     )
-    freq = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    # freq is consumed twice (total aggregate + the per-doc join):
+    # checkpoint-to-scratch so the explode+groupBy runs once
+    freq = materialize(
+        bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c")), "bigram_freq"
+    )
     total = freq.agg(F.sum("c").alias("n")).first()["n"]
     return (
         bi.join(freq, "bg")
