@@ -112,6 +112,37 @@ def test_pipeline_from_warc_matches_parquet_input(spark, corpus, tmp_path):
     assert ta == tb
 
 
+def test_gzip_members_stream_bounded_memory():
+    """A multi-GB-inflating .warc.gz must never materialize decompressed
+    (VERDICT r3 #1): peak Python allocation while draining the parser
+    stays within a few records, not the ~0.5 GB total inflation. Also
+    covers a record spanning two gzip members (carry path)."""
+    import tracemalloc
+
+    body = b"a" * (4 << 20)  # 4 MiB, compresses to ~4 KB
+    rec = _record("resource", "http://big/", "2026-01-01T00:00:00Z", body,
+                  ctype="application/octet-stream")
+    member = gzip.compress(rec, mtime=0)
+    n_members = 128  # 512 MiB decompressed total
+    shard = member * n_members
+    tracemalloc.start()
+    count = 0
+    for url, _, html in parse_warc_records(shard):
+        assert url == "http://big/" and len(html) == len(body)
+        count += 1
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert count == n_members
+    assert peak < 64 << 20, f"peak {peak>>20} MiB — decompressed shard materialized"
+
+    # record split across two gzip members (non-standard; carry must stitch)
+    r1 = _record("resource", "http://s/", "2026-01-01T00:00:00Z", b"xy" * 50,
+                 ctype="application/octet-stream")
+    cut = len(r1) // 2
+    gz = gzip.compress(r1[:cut], mtime=0) + gzip.compress(r1[cut:], mtime=0)
+    assert list(parse_warc_records(gz)) == [("http://s/", 1767225600000000, b"xy" * 50)]
+
+
 # Property fuzz (pure Python — no Spark): arbitrary payload bytes,
 # including CRLFCRLF sequences and gzip mode, must round-trip through
 # record framing exactly.
