@@ -165,6 +165,113 @@ def test_range_join_left_semantics(spark):
     assert n == 0  # no duplicate left rows from the 2-bucket explode
 
 
+def test_asof_hot_key_split_matches_unsplit(spark):
+    """VERDICT r3 missing #4: a planted 10^5-revision monster key must
+    produce identical output with hot_threshold splitting, and the
+    chunk assignment must spread the key across many window partitions
+    (no single partition holds the whole key)."""
+    from dedupe_spark.operators.temporal import _CHUNK, _TS, _assign_chunks
+
+    n_rev = 100_000
+    epoch0 = 1_700_000_000_000_000  # fixed epoch micros base
+    right = spark.range(n_rev).select(
+        F.col("id").alias("rid"),
+        F.lit("hot").alias("key"),
+        F.timestamp_micros(F.lit(epoch0) + F.col("id") * 1_000_000).alias("ts"),
+        F.concat(F.lit("v"), F.col("id")).alias("val"),
+    )
+    cold_r = spark.range(50).select(
+        (F.col("id") + 10_000_000).alias("rid"),
+        F.concat(F.lit("c"), F.col("id") % 7).alias("key"),
+        F.timestamp_micros(F.lit(epoch0) + F.col("id") * 9_000_000).alias("ts"),
+        F.lit("cold").alias("val"),
+    )
+    right = right.unionByName(cold_r)
+    # left events: before the first revision (NULL match), on exact
+    # revision instants (>= semantics), between revisions, after the last
+    left = spark.range(5_000).select(
+        F.col("id").alias("lid"),
+        F.when(F.col("id") % 11 == 0, F.concat(F.lit("c"), F.col("id") % 7))
+        .otherwise(F.lit("hot"))
+        .alias("key"),
+        F.timestamp_micros(
+            F.lit(epoch0) + (F.col("id") * 47 - 100) * 1_000_000 + (F.col("id") % 3)
+        ).alias("ts"),
+    )
+    base = asof_join(left, right, ["key"], tiebreak="rid")
+    split = asof_join(
+        left, right, ["key"], tiebreak="rid", hot_threshold=1_000, n_splits=16
+    )
+    a = {(r["lid"]): (r["rid"], r["val"]) for r in base.collect()}
+    b = {(r["lid"]): (r["rid"], r["val"]) for r in split.collect()}
+    assert a == b and len(a) == 5_000
+    # distribution: the hot key's union rows spread over >= 8 chunks,
+    # and no chunk holds more than ~2/16 of the key's rows
+    u = right.select("key", F.col("ts").alias(_TS))
+    chunked, hot = _assign_chunks(u, ["key"], hot_threshold=1_000, n_splits=16)
+    assert [r["key"] for r in hot.collect()] == ["hot"]
+    sizes = {
+        r[_CHUNK]: r["n"]
+        for r in chunked.where(F.col("key") == "hot")
+        .groupBy(_CHUNK)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(sizes) >= 8
+    assert max(sizes.values()) <= n_rev * 2 // 16
+
+
+def test_asof_hot_split_tolerance_and_ties(spark):
+    """Chunk-boundary carry must respect tolerance and equal-ts
+    tiebreaks exactly like the unsplit path (small case, exhaustive)."""
+    lrows = [(i, "a", float(i * 10)) for i in range(1, 40)]
+    rrows = [(100 + i, "a", float((i // 2) * 40), f"v{i}") for i in range(20)]
+    l, r = _left(spark, lrows), _right(spark, rrows)
+    base = asof_join(l, r, ["key"], tolerance_seconds=35.0, tiebreak="rid")
+    split = asof_join(
+        l, r, ["key"], tolerance_seconds=35.0, tiebreak="rid",
+        hot_threshold=5, n_splits=4,
+    )
+    a = {x["lid"]: x["rid"] for x in base.collect()}
+    b = {x["lid"]: x["rid"] for x in split.collect()}
+    assert a == b == _naive_asof(lrows, rrows, tolerance=35.0)
+
+
+def test_range_join_left_duplicates_and_nulls(spark):
+    """ADVICE + VERDICT r3 wrong #4: duplicate left rows each survive the
+    left re-entry, and a matched left row with a NULL column is NOT
+    re-emitted as spuriously unmatched."""
+    left = spark.createDataFrame(
+        [(None, "a", _ts(50.0)), (1, "a", _ts(60.0)), (1, "a", _ts(60.0)),
+         (2, "b", _ts(100.0)), (2, "b", _ts(100.0))],
+        "lid long, key string, ts timestamp",
+    )
+    right = _right(spark, [(10, "a", 40.0, "x")])
+    res = range_join(
+        left, right, ["key"], lower_seconds=-300.0, upper_seconds=0.0, how="left"
+    ).collect()
+    matched = [r for r in res if r["rid_r"] is not None]
+    unmatched = [r for r in res if r["rid_r"] is None]
+    # 3 'a' rows (incl. the NULL-lid one) matched exactly once each;
+    # the duplicated 'b' row survives twice with NULL payload
+    assert len(matched) == 3 and sorted(
+        (r["lid"] is None) for r in matched
+    ) == [False, False, True]
+    assert len(unmatched) == 2 and all(r["key"] == "b" for r in unmatched)
+
+
+def test_range_join_left_id_col_path(spark):
+    """id_col fast path: same semantics via a plain anti-join."""
+    left = _left(spark, [(1, "a", 60.0), (2, "a", 60.0), (3, "b", 100.0)])
+    right = _right(spark, [(10, "a", 40.0, "x")])
+    res = range_join(
+        left, right, ["key"], lower_seconds=-300.0, upper_seconds=0.0,
+        how="left", id_col="lid",
+    )
+    got = {r["lid"]: r["rid_r"] for r in res.collect()}
+    assert got == {1: 10, 2: 10, 3: None}
+
+
 def test_range_join_rejects_bad_args(spark):
     l = _left(spark, [(1, "a", 0.0)])
     r = _right(spark, [(2, "a", 0.0, "v")])
