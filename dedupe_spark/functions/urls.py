@@ -9,7 +9,9 @@ Rules (the common subset of public crawler canonicalizers — cf. the
 URL normalizations described in RFC 3986 §6):
 
 - scheme and host lowercased; leading ``www.`` dropped
-- default ports ``:80``/``:443`` dropped
+- the scheme's OWN default port dropped (``:80`` for http, ``:443``
+  for https — never cross-scheme: ``http://host:443/x`` is a distinct
+  resource and keeps its port)
 - fragment dropped
 - trailing slashes on a non-root path dropped
 - tracking params (``utm_*``, ``fbclid``, ``gclid``, ``ref``) dropped
@@ -34,6 +36,19 @@ _QUERY_RE = r"^[^?#]*\?([^#]*).*$"
 
 TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|ref)(=.*)?$"
 
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def _strip_default_port(host: Column, scheme: Column) -> Column:
+    """Drop the port only when it is the scheme's default (ADVICE r3:
+    a blanket ':(80|443)$' strip collapsed http://h:443 with http://h)."""
+    out = host
+    for sch, port in _DEFAULT_PORTS.items():
+        out = F.when(
+            scheme == sch, F.regexp_replace(out, f":{port}$", "")
+        ).otherwise(out)
+    return out
+
 
 def is_absolute_url(url: Column) -> Column:
     """True iff ``url`` starts with a ``scheme://`` prefix — the
@@ -51,7 +66,7 @@ def canonical_url(url: Column) -> Column:
     scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
     host = F.lower(F.regexp_extract(url, _HOST_RE, 1))
     host = F.regexp_replace(host, r"^www\.", "")
-    host = F.regexp_replace(host, r":(80|443)$", "")
+    host = _strip_default_port(host, scheme)
     path = F.regexp_extract(url, _PATH_RE, 1)
     path = F.regexp_replace(path, r"/+$", "")
     rawq = F.regexp_extract(url, _QUERY_RE, 1)
@@ -110,7 +125,9 @@ def dedup_fetches(
 
 
 def url_host(url: Column) -> Column:
-    """Registrable-host convenience: lowercased host, no www/port."""
+    """Registrable-host convenience: lowercased host, no www, and the
+    scheme's own default port stripped (same rule as canonical_url)."""
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
     host = F.lower(F.regexp_extract(url, _HOST_RE, 1))
     host = F.regexp_replace(host, r"^www\.", "")
-    return F.regexp_replace(host, r":(80|443)$", "")
+    return _strip_default_port(host, scheme)

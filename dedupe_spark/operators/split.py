@@ -46,7 +46,9 @@ def hash_split(
     """Add ``split_col`` assigning each row to a named split with the
     given fractions (must sum to 1 within 1/GRANULARITY). Dict order
     defines boundary order, so the same dict always yields the same
-    assignment."""
+    assignment. NULL keys get a NULL split (matching split_bucket's
+    NULL-in-NULL-out contract) — they must never silently land in the
+    last-named split and contaminate the eval side (ADVICE r3)."""
     fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
     if len(fractions) < 2:
         raise ValueError("hash_split: need at least 2 splits")
@@ -70,6 +72,7 @@ def hash_split(
         cond = bucket < F.lit(b)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     expr = expr.otherwise(F.lit(names[-1]))
+    expr = F.when(bucket.isNotNull(), expr)  # NULL key -> NULL split
     return df.withColumn(split_col, expr)
 
 

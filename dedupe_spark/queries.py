@@ -909,8 +909,15 @@ def q_asof_purchase_view(spark: SparkSession, sf: str) -> DataFrame:
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
-    views = ev.where(F.col("event_type") == "view").select(
-        F.col("event_id").alias("view_id"), "user_id", "ts"
+    # pre-dedup views to one row per (user_id, ts): DuckDB's ASOF pick
+    # among equal-ts right rows is unspecified, so ties would make the
+    # hash compare fixture-dependent (ADVICE r3) — both sides keep the
+    # max event_id per instant instead.
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+        .select("view_id", "user_id", "ts")
     )
     res = asof_join(purchases, views, keys=["user_id"], tiebreak="view_id")
     return res.select(
@@ -921,7 +928,9 @@ def q_asof_purchase_view(spark: SparkSession, sf: str) -> DataFrame:
 SQL_ASOF_PURCHASE_VIEW = """
 SELECT p.event_id, p.user_id, v.event_id AS view_id, v.ts AS view_ts
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS event_id
+                FROM events WHERE event_type = 'view'
+                GROUP BY user_id, ts) v
   ON p.user_id = v.user_id AND p.ts >= v.ts
 """
 
@@ -946,6 +955,7 @@ def q_range_error_context(spark: SparkSession, sf: str) -> DataFrame:
         lower_seconds=-300.0,
         upper_seconds=0.0,
         how="left",
+        id_col="event_id",  # unique per error row — plain anti-join re-entry
     )
     return pairs.groupBy("event_id", "user_id").agg(
         F.count("near_id_r").alias("n_nearby")
@@ -977,7 +987,8 @@ def q_train_val_split(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_TRAIN_VAL_SPLIT = """
 SELECT doc_id,
-       CASE WHEN b < 8000 THEN 'train'
+       CASE WHEN b IS NULL THEN NULL
+            WHEN b < 8000 THEN 'train'
             WHEN b < 9000 THEN 'val'
             ELSE 'test' END AS split
 FROM (
@@ -1871,14 +1882,18 @@ def q_url_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _DUCK_URL_CANON = """
-  SELECT lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://.*$', 1)) || '://'
-    || regexp_replace(regexp_replace(
-         lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*).*$', 1)),
-         '^www\\.', ''), ':(80|443)$', '')
+  SELECT scheme || '://'
+    || CASE WHEN scheme = 'http' THEN regexp_replace(h, ':80$', '')
+            WHEN scheme = 'https' THEN regexp_replace(h, ':443$', '')
+            ELSE h END
     || regexp_replace(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*).*$', 1), '/+$', '')
     || CASE WHEN q = '' THEN '' ELSE '?' || q END AS curl
   FROM (
-    SELECT url, coalesce(array_to_string(list_sort(list_filter(
+    SELECT url,
+           lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://.*$', 1)) AS scheme,
+           regexp_replace(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*).*$', 1)),
+                          '^www\\.', '') AS h,
+           coalesce(array_to_string(list_sort(list_filter(
              string_split(regexp_extract(url, '^[^?#]*\\?([^#]*).*$', 1), '&'),
              p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)(=.*)?$')
            )), '&'), '') AS q
@@ -1901,11 +1916,18 @@ WITH urls AS (
   )
 ),
 canon AS ({_DUCK_URL_CANON})
-SELECT regexp_replace(regexp_replace(
-         lower(regexp_extract(curl, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*).*$', 1)),
-         '^www\\.', ''), ':(80|443)$', '') AS host,
+SELECT CASE WHEN cscheme = 'http' THEN regexp_replace(chost, ':80$', '')
+            WHEN cscheme = 'https' THEN regexp_replace(chost, ':443$', '')
+            ELSE chost END AS host,
        count(*) AS n_raw, CAST(count(DISTINCT curl) AS BIGINT) AS n_canonical
-FROM canon GROUP BY 1
+FROM (
+  SELECT curl,
+         lower(regexp_extract(curl, '^([a-zA-Z][a-zA-Z0-9+.-]*)://.*$', 1)) AS cscheme,
+         regexp_replace(lower(regexp_extract(curl, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*).*$', 1)),
+                        '^www\\.', '') AS chost
+  FROM canon
+)
+GROUP BY 1
 """
 
 

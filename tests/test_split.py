@@ -130,3 +130,16 @@ def test_split_validation(spark, docs):
         hash_split(docs, "text", {"a": 0.5, "b": 0.6})
     with pytest.raises(ValueError):
         hash_split(docs, "text", {"a": 1.5, "b": -0.5})
+
+
+def test_null_key_gets_null_split(spark):
+    """ADVICE r3: a NULL-key row must get a NULL split, never silently
+    land in the last-named split and contaminate the eval side."""
+    df = spark.createDataFrame(
+        [(1, "body one"), (2, None), (3, "body three")],
+        "doc_id long, text string",
+    )
+    out = hash_split(df, "text", {"train": 0.8, "val": 0.1, "test": 0.1})
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert got[2] is None
+    assert got[1] is not None and got[3] is not None

@@ -15,6 +15,10 @@ CASES = [
     ("https://example.com:443/a", "https://example.com/a"),
     ("http://example.com:80/a", "http://example.com/a"),
     ("http://example.com:8080/a", "http://example.com:8080/a"),
+    # cross-scheme ports are NOT default — distinct resources (ADVICE r3)
+    ("http://example.com:443/a", "http://example.com:443/a"),
+    ("https://example.com:80/a", "https://example.com:80/a"),
+    ("ftp://example.com:80/a", "ftp://example.com:80/a"),
     ("https://example.com/a/", "https://example.com/a"),
     ("https://example.com/a///", "https://example.com/a"),
     ("https://example.com/a#frag", "https://example.com/a"),
