@@ -67,6 +67,7 @@ def curate_corpus(
     spark: SparkSession,
     docs: DataFrame,
     config: CurationConfig | None = None,
+    scratch_dir: str | None = None,
 ) -> dict[str, DataFrame]:
     """Curate ``docs(doc_id, text, lang)`` → deduped, gated, sharded.
 
@@ -75,6 +76,11 @@ def curate_corpus(
     ``shards`` (final docs with ``shard_id``), and ``shard_report``
     (per-shard doc/token rollup). Deterministic at any parallelism —
     ids, hashes, and tie-breaks are all content/key-driven.
+
+    ``scratch_dir`` routes the two materialized intermediates to shared
+    storage — REQUIRED on a multi-node cluster (the default local
+    tempdir is only visible to one machine; ADVICE r3).
+    jobs/curate_corpus.py always passes it.
     """
     cfg = config or CurationConfig()
     out: dict[str, DataFrame] = {}
@@ -101,6 +107,7 @@ def curate_corpus(
         .where(F.col("_rn") == 1)
         .drop("_md5", "_rn"),
         f"curation_exact_{seq}",
+        scratch_dir=scratch_dir,
     )
     out["exact"] = exact
 
@@ -150,6 +157,7 @@ def curate_corpus(
     counted = materialize(
         gated.withColumn("n_tokens", token_count(F.col("text"))),
         f"curation_counted_{seq}",
+        scratch_dir=scratch_dir,
     )
     shards = pack_shards(
         counted, order_col="doc_id", weight_col="n_tokens",

@@ -37,26 +37,33 @@ CHECKPOINT_SCHEMA = (
 )
 
 
-def materialize(df: DataFrame, name: str) -> DataFrame:
+def materialize(df: DataFrame, name: str, scratch_dir: str | None = None) -> DataFrame:
     """Checkpoint-to-table: share one computation across plan branches
     WITHOUT a storage-cache leak.
 
     ``.persist()`` inside a catalog query leaks: the returned plan is
     lazy, so there is no point at which the query can unpersist, and a
     long-lived driver looping such queries accumulates cached tables
-    until LRU eviction. Writing the small intermediate to a per-process
-    scratch parquet dir and reading it back gives the same
+    until LRU eviction. Writing the small intermediate to a scratch
+    parquet dir and reading it back gives the same
     compute-once/consume-many behavior with zero executor-storage
     footprint — repeated invocations overwrite the same path.
 
-    The dir is keyed by pid so concurrent bench legs (separate Spark
-    subprocesses on one host) never collide.
+    ``scratch_dir`` must be on storage every executor can reach. The
+    default (``None``) is a local tempdir keyed by pid — correct in
+    local[*] mode only (concurrent bench legs on one host never
+    collide), WRONG on a multi-node cluster where each executor's /tmp
+    is private: multi-node callers (jobs/) must pass a shared path
+    (ADVICE r3).
     """
     import tempfile
 
-    path = os.path.join(
-        tempfile.gettempdir(), f"dedupe_spark_mat_{os.getpid()}", name
-    )
+    if scratch_dir is None:
+        path = os.path.join(
+            tempfile.gettempdir(), f"dedupe_spark_mat_{os.getpid()}", name
+        )
+    else:
+        path = os.path.join(scratch_dir, name)
     df.write.mode("overwrite").parquet(path)
     # schema-supplied read: no footer-sampling inference job
     return df.sparkSession.read.schema(df.schema).parquet(path)

@@ -28,6 +28,12 @@ def main(argv: list[str] | None = None) -> None:
                    help="token budget per training shard")
     p.add_argument("--jaccard-threshold", type=float, default=0.8)
     p.add_argument("--hot-threshold", type=int, default=1000)
+    p.add_argument("--scratch-dir", default=None,
+                   help="shared-storage dir for materialized intermediates; "
+                        "defaults to the sibling <output>_scratch (must be "
+                        "reachable by every executor — never a node-local "
+                        "/tmp, and never inside --output, whose overwrite "
+                        "would delete it mid-plan)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -42,8 +48,13 @@ def main(argv: list[str] | None = None) -> None:
         jaccard_threshold=args.jaccard_threshold,
         hot_threshold=args.hot_threshold,
     )
+    # intermediates must live on storage every executor can reach — the
+    # output dir's filesystem qualifies by construction; a SIBLING path,
+    # because the final overwrite of --output must not delete scratch
+    # the shards plan is still reading
+    scratch = args.scratch_dir or f"{args.output.rstrip('/')}_scratch"
     t0 = time.time()
-    out = curate_corpus(spark, docs, cfg)
+    out = curate_corpus(spark, docs, cfg, scratch_dir=scratch)
     out["shards"].write.mode("overwrite").partitionBy("shard_id").parquet(args.output)
     report = {
         int(r["shard_id"]): (int(r["n_docs"]), int(r["total_tokens"]))

@@ -85,3 +85,20 @@ def test_deterministic_across_partitioning(spark, corpus, curated):
     a = sorted(map(tuple, curated["shards"].select("doc_id", "shard_id").collect()))
     b = sorted(map(tuple, again["shards"].select("doc_id", "shard_id").collect()))
     assert a == b
+
+
+def test_scratch_dir_routing(spark, corpus, tmp_path):
+    """scratch_dir must route the materialized intermediates to the
+    given (shared-storage) path — the multi-node contract (ADVICE r3);
+    result identical to the default local-tempdir path."""
+    import os
+
+    sd = str(tmp_path / "shared_scratch")
+    out = curate_corpus(spark, corpus, scratch_dir=sd)
+    got = sorted(map(tuple, out["shards"].select("doc_id", "shard_id").collect()))
+    names = os.listdir(sd)
+    assert any(n.startswith("curation_exact_") for n in names)
+    assert any(n.startswith("curation_counted_") for n in names)
+    base = curate_corpus(spark, corpus)
+    want = sorted(map(tuple, base["shards"].select("doc_id", "shard_id").collect()))
+    assert got == want
