@@ -198,3 +198,69 @@ def test_delete_crash_after_reset_recovers(spark, io, monkeypatch):
     # next delete self-heals the interrupted one, then applies its own
     fresh.delete([3], "t", "id")
     assert {(r["id"], r["v"]) for r in fresh.read("t").collect()} == {(1, "a")}
+
+
+def test_concurrent_upsert_refused_loudly_then_succeeds(spark, io):
+    """Two-process contention (VERDICT r3 next #3): while another OS
+    process holds the stage write lock mid-commit, an upsert must be
+    REFUSED LOUDLY — never interleave and silently lose rows. After the
+    holder exits, the retry merges cleanly. This is the documented
+    Iceberg-migration contract (ConcurrentWriterError docstring)."""
+    import os
+    import subprocess
+    import sys
+    import time
+
+    from dedupe_spark.sources.checkpoints import ConcurrentWriterError
+
+    io.upsert(_df(spark, [(1, "a"), (2, "b")]), "t", "id")
+    lock_path = os.path.join(io.base_dir, "_writelock_t")
+    # a real second process: grabs the flock (as a mid-commit writer
+    # would), signals readiness via a sentinel file, holds until killed
+    holder = subprocess.Popen(
+        [sys.executable, "-c", (
+            "import fcntl, os, sys, time\n"
+            f"fd = os.open({lock_path!r}, os.O_CREAT | os.O_RDWR)\n"
+            "fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)\n"
+            f"open({lock_path!r} + '.ready', 'w').close()\n"
+            "time.sleep(60)\n"
+        )],
+    )
+    try:
+        deadline = time.time() + 30
+        while not os.path.exists(lock_path + ".ready"):
+            assert time.time() < deadline, "lock holder failed to start"
+            time.sleep(0.05)
+        with pytest.raises(ConcurrentWriterError):
+            io.upsert(_df(spark, [(2, "B"), (3, "c")]), "t", "id")
+        # refusal left the store exactly as it was — no partial commit
+        assert {(r["id"], r["v"]) for r in io.read("t").collect()} == {
+            (1, "a"), (2, "b")
+        }
+    finally:
+        holder.kill()
+        holder.wait()
+    # the kernel released the dead holder's flock: no stale lock, the
+    # retry serializes cleanly and no row from either writer is lost
+    io.upsert(_df(spark, [(2, "B"), (3, "c")]), "t", "id")
+    assert {(r["id"], r["v"]) for r in io.read("t").collect()} == {
+        (1, "a"), (2, "B"), (3, "c")
+    }
+
+
+def test_concurrent_delete_refused_loudly(spark, io):
+    import fcntl
+    import os
+
+    from dedupe_spark.sources.checkpoints import ConcurrentWriterError
+
+    io.upsert(_df(spark, [(1, "a"), (2, "b")]), "t", "id")
+    fd = os.open(os.path.join(io.base_dir, "_writelock_t"), os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    try:
+        with pytest.raises(ConcurrentWriterError):
+            io.delete([1], "t", "id")
+    finally:
+        os.close(fd)
+    io.delete([1], "t", "id")
+    assert {r["id"] for r in io.read("t").collect()} == {2}
