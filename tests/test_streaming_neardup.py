@@ -259,3 +259,95 @@ def test_incremental_near_dedupe_store_invariant_multi_batch(spark, tmp_path):
         root = find(u)
         comp_has_stored[root] = comp_has_stored.get(root, False) or u in stored_urls
     assert all(comp_has_stored.values()), "a component lost all its pages"
+
+
+def _chain_rows(k, base=0x123456789AB, t0=0):
+    """k simhashes where consecutive differ by exactly 3 bits and
+    non-consecutive by 3|i-j| > 3 — a pure hamming chain. Flips stay in
+    the low 30 bits, so bands 2-3 always collide (candidates form)."""
+    from datetime import datetime, timedelta
+
+    assert k <= 10
+    hs, h = [], base
+    for i in range(k):
+        hs.append(h)
+        h ^= 0b111 << (3 * i)
+    return [
+        (f"u/{i:02d}", datetime(2024, 1, 1) + timedelta(seconds=t0 + i), hs[i])
+        for i in range(k)
+    ]
+
+
+def _suppress(spark, rows, max_hamming=3):
+    from dedupe_spark.streaming.incremental import _within_batch_near_suppress
+
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, simhash long")
+    out = _within_batch_near_suppress(df, max_hamming)
+    return {r["url"] for r in out.collect()}
+
+
+def test_within_batch_chain_one_survivor_per_component(spark):
+    """Batch-CC parity on the adversarial chain (VERDICT r3 wrong #3):
+    arrival order A, C, B (middle LAST) made the old greedy pairwise
+    rule keep BOTH A and C — the batch pipeline's CC keeps exactly one.
+    """
+    rows = _chain_rows(3)
+    a, b, c = rows
+    # arrival order: A earliest, C second, B last (B bridges A and C)
+    rows_acb = [(a[0], a[1], a[2]),
+                (c[0], b[1], c[2]),   # C gets the middle timestamp
+                (b[0], c[1], b[2])]   # B arrives last
+    assert _suppress(spark, rows_acb) == {a[0]}  # ONE survivor, not {A, C}
+    # natural order: same single survivor
+    assert _suppress(spark, rows) == {a[0]}
+
+
+def test_within_batch_suppression_matches_cc_oracle_property(spark):
+    """Property sweep: random mixes of chains + isolated hashes under
+    random arrival permutations — survivors must be EXACTLY the
+    earliest (warc_ts, url) of every connected component of the
+    (shared-band ∧ hamming<=3) graph, i.e. batch-pipeline semantics."""
+    import random
+    from datetime import datetime, timedelta
+
+    rng = random.Random(20260817)
+    for trial in range(4):
+        rows = []
+        for ci, k in enumerate(rng.sample([2, 3, 5, 8, 1, 1, 4], 5)):
+            # distinct high bits per chain => no cross-chain collisions
+            base = (0x51 + 7 * ci) << 40 | 0x9AB
+            for j, (u, _, h) in enumerate(_chain_rows(k, base=base)):
+                rows.append((f"c{ci}/{u}", h))
+        perm = list(range(len(rows)))
+        rng.shuffle(perm)
+        data = [
+            (u, datetime(2024, 1, 1) + timedelta(seconds=perm[i]), h)
+            for i, (u, h) in enumerate(rows)
+        ]
+        got = _suppress(spark, data)
+        # union-find oracle over (shared band AND hamming<=3)
+        parent = {u: u for u, _, _ in data}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i in range(len(data)):
+            for j in range(i + 1, len(data)):
+                h1, h2 = data[i][2], data[j][2]
+                ham = bin((h1 ^ h2) & (2**64 - 1)).count("1")
+                shares = any(
+                    ((h1 >> (b * 16)) & 0xFFFF) == ((h2 >> (b * 16)) & 0xFFFF)
+                    for b in range(4)
+                )
+                if shares and ham <= 3:
+                    ri, rj = find(data[i][0]), find(data[j][0])
+                    if ri != rj:
+                        parent[ri] = rj
+        comps = {}
+        for u, ts, _ in data:
+            comps.setdefault(find(u), []).append((ts, u))
+        want = {min(members)[1] for members in comps.values()}
+        assert got == want, f"trial {trial}: {sorted(got)} != {sorted(want)}"
