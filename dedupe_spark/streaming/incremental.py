@@ -266,6 +266,7 @@ def run_incremental_near_dedupe(
     checkpoint_dir: str,
     max_hamming: int = 3,
     watermark: str = "10 minutes",
+    min_jaccard: float = 0.8,
 ) -> None:
     """Incremental EXACT + NEAR dedup against a persistent store: new
     pages' LSH band keys join the persisted key index, so cross-batch
@@ -273,10 +274,11 @@ def run_incremental_near_dedupe(
     the stored pages — the reference's collision-triggered lazy-feature
     trick (DedupeJar.java:243-255: md5-on-arrival iff the index already
     holds a same-size entry) generalized to sketch indexes: arrivals
-    are sketched exactly once, and the expensive pairwise refine runs
-    only on band collisions.
+    are sketched exactly once (minhash + simhash from ONE shingle
+    pass), and the expensive pairwise refine runs only on band
+    collisions.
 
-    Two disk-resident key indexes ride along with the store (same
+    Four disk-resident key indexes ride along with the store (same
     ``batch=<tag>-<id>`` overwrite protocol as
     :func:`run_incremental_exact_dedupe`, so replays are idempotent):
 
@@ -285,6 +287,21 @@ def run_incremental_near_dedupe(
       a 16-bit simhash band key per row (4 bands: Hamming ≤3 ⇒ ≥1
       shared band by pigeonhole), carrying the full 64-bit simhash so
       the Hamming refine needs no store access at all.
+    * ``<store>_mh``    — (band_key, nid)           MinHash LSH bands
+      (32 bands × 4 rows — the batch pipeline's blocking geometry), so
+      Jaccard-similar rewrites whose simhash drifts past ``max_hamming``
+      are still caught cross-batch (VERDICT r3 next #8).
+    * ``<store>_mhsig`` — (nid, sig)                the 128-perm
+      signature stored ONCE per page (not per band row); the Jaccard
+      refine is the JVM-side signature-agreement fraction
+      ``size(filter(zip_with(a, b, ==)))/128`` against ``min_jaccard``.
+      ``nid = xxhash64(url)`` links the two.
+
+    Legacy stores predating the minhash indexes bootstrap cold: the
+    store rows carry no signature to rebuild from (by design — sketches
+    live in indexes, pages stay lean), so the ``_mh`` index starts
+    empty and covers pages stored from now on; the simhash index still
+    rebuilds from the store's own ``simhash`` column.
 
     Per batch: exact cross-batch anti-join → within-batch exact
     collapse → within-batch near suppression via connected components
@@ -294,10 +311,11 @@ def run_incremental_near_dedupe(
     (warc_ts, url) — with zero semantic divergence from batch
     clustering; the previously-documented greedy pairwise rule
     over-admitted arrival-order local minima on chains, quantified in
-    tests/test_streaming.py) → cross-batch near suppression via the
-    band index → survivors appended to store + both indexes. The CC
-    rounds run on the micro-batch's collision edges only (bounded by
-    batch size, not store size).
+    tests/test_streaming_neardup.py) → cross-batch near suppression via
+    the simhash band index → cross-batch Jaccard suppression via the
+    MinHash band index → survivors appended to store + all indexes.
+    The CC rounds run on the micro-batch's collision edges only
+    (bounded by batch size, not store size).
 
     At 10^12 pages: per-batch cost is the arrivals' sketch pass plus
     keys-only columnar IO on the two indexes; candidate generation is
@@ -307,20 +325,32 @@ def run_incremental_near_dedupe(
     import glob as _glob
     import hashlib
 
-    from dedupe_spark.functions.hashing import simhash_band_keys, simhash_udf
+    from dedupe_spark.functions.hashing import (
+        MINHASH_K,
+        content_sketches_udf,
+        lsh_band_keys,
+        simhash_band_keys,
+    )
 
     arrivals = (
         stream_pages(spark, input_dir)
         .withColumn("__text", extract_text_udf(F.col("html")))
         .withColumn("content_md5", F.md5(F.col("__text")))
-        .withColumn("simhash", simhash_udf(F.col("__text")))
-        .drop("__text")
+        .withColumn("__sk", content_sketches_udf(F.col("__text")))
+        .withColumn("simhash", F.col("__sk.sh"))
+        .withColumn("sig", F.col("__sk.sig"))
+        .drop("__text", "__sk")
         .withWatermark("warc_ts", watermark)
         .dropDuplicatesWithinWatermark(["content_md5"])
     )
     keys_dir = store_dir + "_keys"
     lsh_dir = store_dir + "_lsh"
+    mh_dir = store_dir + "_mh"
+    mhsig_dir = store_dir + "_mhsig"
     run_tag = hashlib.sha1(checkpoint_dir.encode("utf-8")).hexdigest()[:8]
+    # all-zero signatures (empty / sub-shingle-width text) carry no
+    # Jaccard evidence — they never enter minhash banding or the index
+    has_sig = F.exists(F.col("sig"), lambda x: x != F.lit(0))
 
     if _glob.glob(os.path.join(store_dir, "part-*.parquet")):
         raise ValueError(
@@ -345,7 +375,7 @@ def run_incremental_near_dedupe(
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         cur = f"{run_tag}-{batch_id}"
-        out = batch.select("url", "warc_ts", "content_md5", "simhash", "lang")
+        out = batch.select("url", "warc_ts", "content_md5", "simhash", "sig", "lang")
         # 1. exact cross-batch: anti-join the md5 key index
         existing = _read_keys_if_exists(spark, keys_dir)
         if existing is not None:
@@ -393,8 +423,45 @@ def run_incremental_near_dedupe(
                 .distinct()
             )
             out2 = out2.join(cross_sup, "url", "left_anti")
+        # 5. cross-batch near, Jaccard family: MinHash band-key equi-join
+        #    against the _mh index, signature-agreement refine against
+        #    the once-per-page _mhsig table — catches rewrites whose
+        #    simhash drifted past max_hamming but whose shingle sets
+        #    still overlap >= min_jaccard. Store never read.
+        mh_existing = _read_keys_if_exists(spark, mh_dir)
+        mhsig_existing = _read_keys_if_exists(spark, mhsig_dir)
+        if mh_existing is not None and mhsig_existing is not None:
+            prior_mh = mh_existing.where(
+                F.col("batch").cast("string") != cur
+            ).select("band_key", "nid")
+            prior_sigs = mhsig_existing.where(
+                F.col("batch").cast("string") != cur
+            ).select("nid", F.col("sig").alias("stored_sig"))
+            arrival_mh = out2.where(has_sig).select(
+                "url",
+                "sig",
+                F.explode(lsh_band_keys(F.col("sig"))).alias("band_key"),
+            )
+            cand_mh = (
+                arrival_mh.join(prior_mh, "band_key")
+                .select("url", "sig", "nid")
+                .distinct()
+            )
+            agree = F.size(
+                F.filter(
+                    F.zip_with("sig", "stored_sig", lambda a, b: a == b),
+                    lambda x: x,
+                )
+            ) / F.lit(float(MINHASH_K))
+            mh_sup = (
+                cand_mh.join(prior_sigs, "nid")
+                .where(agree >= F.lit(min_jaccard))
+                .select("url")
+                .distinct()
+            )
+            out2 = out2.join(mh_sup, "url", "left_anti")
         out2.persist()
-        out2.write.mode("overwrite").parquet(f"{store_dir}/batch={cur}")
+        out2.drop("sig").write.mode("overwrite").parquet(f"{store_dir}/batch={cur}")
         out2.select("content_md5").write.mode("overwrite").parquet(
             f"{keys_dir}/batch={cur}"
         )
@@ -402,6 +469,13 @@ def run_incremental_near_dedupe(
             F.explode(simhash_band_keys(F.col("simhash"))).alias("band_key"),
             "simhash",
         ).write.mode("overwrite").parquet(f"{lsh_dir}/batch={cur}")
+        out2.where(has_sig).select(
+            F.xxhash64("url").alias("nid"),
+            F.explode(lsh_band_keys(F.col("sig"))).alias("band_key"),
+        ).write.mode("overwrite").parquet(f"{mh_dir}/batch={cur}")
+        out2.where(has_sig).select(
+            F.xxhash64("url").alias("nid"), "sig"
+        ).write.mode("overwrite").parquet(f"{mhsig_dir}/batch={cur}")
         out2.unpersist()
         out.unpersist()
 

@@ -42,6 +42,14 @@ EXPECTATIONS = {
         ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
     ),
     "range_error_context": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # hot-split asof: chunked windows + broadcast carry stitch, still no
+    # inequality join anywhere
+    "asof_hot_split": (
+        ["Window", "BroadcastHashJoin"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+    ),
+    # derived-id left re-entry: NULL-safe anti-join, never a cartesian
+    "range_left_dups": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     "duplicate_shingles": (["HashAggregate", "Generate"], ["CartesianProduct"]),
     # repetition metric: one shuffle on (doc_id, ...) then a window
     "rep_ngram_fraction": (["Window", "HashAggregate"], ["CartesianProduct"]),
