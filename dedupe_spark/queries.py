@@ -1539,6 +1539,140 @@ GROUP BY doc_id
 """
 
 
+def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction (C4/RefinedWeb/Dolma-style scrubber): per-pattern
+    match counts + md5 of the scrubbed text. The fixture corpus is
+    PII-free word soup, so both engines append the SAME deterministic
+    PII-bearing suffix (derived only from doc_id) before scrubbing —
+    the oracle then verifies the regex dialects agree byte-for-byte on
+    emails, NANP phones, SSNs and dotted quads. All JVM regexp_count /
+    regexp_replace inside one codegen'd projection — zero shuffles; at
+    100 TB this rides the extraction scan."""
+    from dedupe_spark.functions.pii import pii_counts, scrub_pii
+
+    docs = load_table(spark, sf, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-867-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ssn 123-45-6789 host 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1 done"),
+    )
+    return docs.select(
+        "doc_id",
+        *pii_counts(aug),
+        F.md5(scrub_pii(aug)).alias("scrubbed_md5"),
+    )
+
+
+def _sql_pii_scrub() -> str:
+    """Oracle built from the SAME pattern strings as the Spark query
+    (functions/pii.py PII_PATTERNS) — single source of truth, so a
+    pattern edit can never silently diverge the two engines."""
+    from dedupe_spark.functions.pii import PII_PATTERNS
+
+    counts = ",\n       ".join(
+        f"len(regexp_extract_all(aug, '{pat}')) AS n_{name}" for name, pat, _ in PII_PATTERNS
+    )
+    scrub = "aug"
+    for _name, pat, repl in PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH a AS (
+  SELECT doc_id,
+         text || ' reach user' || doc_id || '@example.com or 555-867-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' ssn 123-45-6789 host 10.' || (doc_id % 256) || '.0.1 done' AS aug
+  FROM documents
+)
+SELECT doc_id,
+       {counts},
+       md5({scrub}) AS scrubbed_md5
+FROM a
+"""
+
+
+SQL_PII_SCRUB = _sql_pii_scrub()
+
+
+def q_intra_doc_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-document repetition removal: keep the FIRST occurrence of
+    each repeated unit (C4 span-dedup / RefinedWeb line-dedup shape; the
+    fixture has no newlines, so the unit is the whitespace token — the
+    operator takes the separator as a parameter). Pure projection:
+    split → array_distinct (first-occurrence order) → array_join; no
+    shuffle at any scale."""
+    from dedupe_spark.operators.repetition import dedup_units, split_units
+
+    docs = load_table(spark, sf, "documents")
+    units = split_units(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(units).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(units)).cast("long").alias("n_unique"),
+        F.md5(dedup_units(F.col("text"))).alias("dedup_md5"),
+    )
+
+
+SQL_INTRA_DOC_DEDUP = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+ex AS (SELECT doc_id, unnest(ts) AS tok, unnest(range(len(ts))) AS ord FROM t),
+firsts AS (SELECT doc_id, tok, min(ord) AS o FROM ex GROUP BY doc_id, tok),
+agg AS (
+  SELECT doc_id, count(*) AS n_unique,
+         md5(string_agg(tok, ' ' ORDER BY o)) AS dedup_md5
+  FROM firsts GROUP BY doc_id
+)
+SELECT t.doc_id, len(t.ts) AS n_tokens,
+       coalesce(agg.n_unique, 0) AS n_unique,
+       coalesce(agg.dedup_md5, md5('')) AS dedup_md5
+FROM t LEFT JOIN agg USING (doc_id)
+"""
+
+
+def q_boilerplate_removal(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document boilerplate removal: units appearing in >= 50% of
+    documents (navigation chrome / cookie banners at crawl scale) are
+    stripped from every doc, survivors keep order and multiplicity.
+    The blocklist is doc-frequency-bounded (<= 2x avg doc length at
+    f=0.5 — operators/repetition.py), collected driver-side, and
+    applied as a literal array_contains filter: the corpus pass is a
+    pure projection with NO join and NO shuffle; the only shuffle is
+    the bounded wordcount that finds the blocklist."""
+    from dedupe_spark.operators.repetition import remove_boilerplate_units
+
+    docs = load_table(spark, sf, "documents")
+    n_docs = _parquet_rows(f"{sf}/documents.parquet")
+    out = remove_boilerplate_units(docs, min_doc_frac=0.5, n_docs=n_docs)
+    return out.select(
+        "doc_id",
+        F.col("n_removed").cast("long").alias("n_removed"),
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    )
+
+
+SQL_BOILERPLATE_REMOVAL = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+ex AS (SELECT doc_id, unnest(ts) AS tok, unnest(range(len(ts))) AS ord FROM t),
+block AS (
+  SELECT tok FROM ex GROUP BY tok
+  HAVING count(DISTINCT doc_id) >= 0.5 * (SELECT count(*) FROM documents)
+),
+kept AS (SELECT doc_id, tok, ord FROM ex WHERE tok NOT IN (SELECT tok FROM block)),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         md5(string_agg(tok, ' ' ORDER BY ord)) AS clean_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, len(t.ts) - coalesce(agg.n_kept, 0) AS n_removed,
+       coalesce(agg.clean_md5, md5('')) AS clean_md5
+FROM t LEFT JOIN agg USING (doc_id)
+"""
+
+
 def q_domain_balance_cap(spark: SparkSession, sf: str) -> DataFrame:
     """Domain balancing: cap every source at its K best-quality docs
     (deterministic doc_id tiebreak) — the standard guard against one
@@ -2281,6 +2415,9 @@ QUERIES: dict[str, QueryFn] = {
     "domain_balance_cap": q_domain_balance_cap,
     "shingle_novelty": q_shingle_novelty,
     "bigram_surprisal": q_bigram_surprisal,
+    "pii_scrub": q_pii_scrub,
+    "intra_doc_dedup": q_intra_doc_dedup,
+    "boilerplate_removal": q_boilerplate_removal,
     "curation_pipeline": q_curation_pipeline,
     "cc_clusters": q_cc_clusters,
     "cluster_size_histogram": q_cluster_size_histogram,
@@ -2357,6 +2494,9 @@ ORACLES: dict[str, str] = {
     "domain_balance_cap": SQL_DOMAIN_BALANCE_CAP,
     "shingle_novelty": SQL_SHINGLE_NOVELTY,
     "bigram_surprisal": SQL_BIGRAM_SURPRISAL,
+    "pii_scrub": SQL_PII_SCRUB,
+    "intra_doc_dedup": SQL_INTRA_DOC_DEDUP,
+    "boilerplate_removal": SQL_BOILERPLATE_REMOVAL,
     "cc_clusters": SQL_CC_CLUSTERS,
     "cluster_size_histogram": SQL_CLUSTER_SIZE_HISTOGRAM,
     # Rows-only (no ANSI-SQL oracle, Python oracles in pytest instead):

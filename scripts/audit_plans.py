@@ -90,6 +90,13 @@ EXPECTATIONS = {
     "shingle_novelty": ([], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"]),
     # corpus total is a driver scalar, NOT a 1-row crossJoin — BNLJ banned
     "bigram_surprisal": ([], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"]),
+    # chained regexp projection — rides the scan, no shuffle of any kind
+    "pii_scrub": ([], ["Exchange", "CartesianProduct", "HashAggregate", "Generate", "Window"]),
+    # split→array_distinct→join projection — no shuffle, no explode
+    "intra_doc_dedup": ([], ["Exchange", "CartesianProduct", "HashAggregate", "Generate", "Window"]),
+    # corpus pass after the driver-side blocklist build: literal
+    # array_contains filter projection — no join/shuffle on the big side
+    "boilerplate_removal": ([], ["Exchange", "CartesianProduct", "HashAggregate", "Generate", "Window", "SortMergeJoin", "BroadcastHashJoin"]),
 }
 
 

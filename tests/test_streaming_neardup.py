@@ -116,21 +116,32 @@ def test_multi_band_guarantee_and_single_band_miss(spark, tmp_path):
 def _near_pair_and_loner(pages):
     """((kept_url, dup_url), loner_url): the pair shares a truth
     cluster with different md5 and simhash hamming <= 3 (guaranteed
-    detectable by 4x16-bit banding); the loner's md5 is unique AND its
-    simhash is > 3 from EVERY other page (guaranteed admissible)."""
+    detectable by 4x16-bit banding); the loner must be novel under
+    EVERY suppression criterion the operator applies — unique md5,
+    simhash > 3 from every other page, AND minhash signature
+    agreement < 0.8 vs every other page (the r4 cross-batch Jaccard
+    index suppresses sig-agreement >= min_jaccard even when the
+    simhash drifted, so a truth-cluster member with a drifted simhash
+    is NOT admissible — seed 7 has exactly such a page, and the
+    operator correctly suppresses it)."""
     import collections
     import hashlib as _h
     import itertools
 
-    from dedupe_spark.functions.hashing import simhash64
+    from dedupe_spark.functions.hashing import MINHASH_K, minhash_signature, simhash64
 
     rows = [
-        (r["url"], _h.md5(r["text"].encode()).hexdigest(), simhash64(r["text"]))
+        (
+            r["url"],
+            _h.md5(r["text"].encode()).hexdigest(),
+            simhash64(r["text"]),
+            minhash_signature(r["text"]),
+        )
         for r in pages.select("url", "text").collect()
     ]
     truth = {r["url"]: r["truth_key"] for r in pages.select("url", "truth_key").collect()}
     by_key = collections.defaultdict(list)
-    for u, m, h in rows:
+    for u, m, h, _s in rows:
         by_key[truth[u]].append((u, m, h))
     pair = None
     for mem in by_key.values():
@@ -141,13 +152,17 @@ def _near_pair_and_loner(pages):
         if pair:
             break
     assert pair, "corpus seed produced no hamming<=3 near pair"
+
+    def _agree(s1, s2) -> float:
+        return sum(1 for x, y in zip(s1, s2) if x == y) / MINHASH_K
+
     loner = next(
         u
-        for u, m, h in rows
-        if sum(1 for _, m2, _ in rows if m2 == m) == 1
+        for u, m, h, s in rows
+        if sum(1 for _, m2, _, _ in rows if m2 == m) == 1
         and all(
-            bin((h ^ h2) & (2**64 - 1)).count("1") > 3
-            for u2, _, h2 in rows
+            bin((h ^ h2) & (2**64 - 1)).count("1") > 3 and _agree(s, s2) < 0.8
+            for u2, _, h2, s2 in rows
             if u2 != u
         )
     )
