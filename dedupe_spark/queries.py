@@ -1782,6 +1782,19 @@ def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     return out["shard_report"]
 
 
+def q_semantic_dedup_groups(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. '23, arXiv:2303.09540): k-means-scoped
+    cosine near-dup groups over the embeddings table with one kept
+    representative per group (lowest centroid cosine = most atypical
+    copy). Rows-only: the seeded k-means fit is not ANSI-SQL; the
+    Python oracle (global-threshold union-find on planted separated
+    groups) lives in tests/test_semantic.py."""
+    from dedupe_spark.operators.semantic import semantic_dedup
+
+    emb = load_table(spark, sf, "embeddings")
+    return semantic_dedup(emb, eps=0.9, n_cells=8).orderBy("vec_id")
+
+
 def q_embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:
     """Per-label embedding centroids (the IVF coarse-quantizer /
     class-prototype computation in long form): posexplode the vector
@@ -2426,6 +2439,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    "semantic_dedup_groups": q_semantic_dedup_groups,
     "image_near_dups": q_image_near_dups,
     "audio_near_dups": q_audio_near_dups,
     "er_pipeline_clusters": q_er_pipeline_clusters,
@@ -2503,6 +2517,8 @@ ORACLES: dict[str, str] = {
     # minhash_lsh_pairs / simhash_pairs (sketches — test_hashing.py),
     # ann_lsh_topk / ann_ivf_topk / embedding_near_dup_lsh (approximate
     # by design — recall-vs-brute-force tests in test_ann.py),
+    # semantic_dedup_groups (seeded k-means not SQL — global union-find
+    # oracle in test_semantic.py),
     # image_near_dups / audio_near_dups (fake-codec fingerprints —
     # planted-dup tests), er_pipeline_clusters (full ER chain — F1
     # tests in test_pipeline.py).

@@ -97,6 +97,8 @@ EXPECTATIONS = {
     # corpus pass after the driver-side blocklist build: literal
     # array_contains filter projection — no join/shuffle on the big side
     "boilerplate_removal": ([], ["Exchange", "CartesianProduct", "HashAggregate", "Generate", "Window", "SortMergeJoin", "BroadcastHashJoin"]),
+    # SemDeDup: cell-scoped equi-join pairs + CC — never a cross product
+    "semantic_dedup_groups": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
 }
 
 

@@ -1,0 +1,110 @@
+"""SemDeDup-style semantic dedup: planted paraphrase groups vs a
+global-threshold union-find oracle (numpy, no Spark)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_spark.operators.semantic import semantic_dedup
+
+DIM = 16
+EPS = 0.9
+
+
+def _planted(seed: int = 3, n_groups: int = 4, group_size: int = 3, n_loners: int = 8):
+    """Well-separated unit-norm group centers; members are tiny
+    perturbations (cos >> EPS within a group, << EPS across)."""
+    rng = np.random.RandomState(seed)
+    vecs: list[tuple[int, list[float]]] = []
+    truth: dict[int, int] = {}
+    vid = 0
+    for g in range(n_groups):
+        base = rng.normal(size=DIM)
+        base /= np.linalg.norm(base)
+        for _ in range(group_size):
+            v = base + rng.normal(scale=0.01, size=DIM)
+            vecs.append((vid, [float(x) for x in v]))
+            truth[vid] = g
+            vid += 1
+    for _ in range(n_loners):
+        v = rng.normal(size=DIM)
+        vecs.append((vid, [float(x) for x in v]))
+        truth[vid] = -vid  # unique
+        vid += 1
+    return vecs, truth
+
+
+def _oracle_components(vecs) -> dict[int, int]:
+    """Union-find over GLOBAL pairwise cosine >= EPS (no clustering) —
+    equals the cluster-scoped result when groups are well-separated."""
+    ids = [i for i, _ in vecs]
+    X = np.array([v for _, v in vecs])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sim = Xn @ Xn.T
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            if sim[a, b] >= EPS:
+                ra, rb = find(ids[a]), find(ids[b])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in ids}
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    vecs, truth = _planted()
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, eps=EPS, n_cells=4, seed=7).collect()
+    return vecs, truth, out
+
+
+def test_groups_match_global_oracle(planted):
+    vecs, _truth, out = planted
+    oracle = _oracle_components(vecs)
+    got = {r["vec_id"]: r["group_id"] for r in out}
+    assert len(got) == len(vecs)
+    # same partition (group ids are min-member on both sides)
+    assert got == oracle
+
+
+def test_exactly_one_kept_per_group_and_loners_kept(planted):
+    vecs, truth, out = planted
+    by_group: dict[int, list] = {}
+    for r in out:
+        by_group.setdefault(r["group_id"], []).append(r)
+    for members in by_group.values():
+        assert sum(1 for m in members if m["kept"]) == 1
+    # every loner is its own kept singleton
+    loners = {i for i, g in truth.items() if g < 0}
+    for r in out:
+        if r["vec_id"] in loners:
+            assert r["kept"] and r["group_id"] == r["vec_id"]
+
+
+def test_keep_rule_is_min_centroid_cos(planted):
+    _vecs, _truth, out = planted
+    by_group: dict[int, list] = {}
+    for r in out:
+        by_group.setdefault(r["group_id"], []).append(r)
+    for members in by_group.values():
+        expected = min(members, key=lambda m: (m["centroid_cos"], m["vec_id"]))
+        kept = next(m for m in members if m["kept"])
+        assert kept["vec_id"] == expected["vec_id"]
+
+
+def test_partitioning_invariance(spark, planted):
+    vecs, _truth, out = planted
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>").repartition(7)
+    out2 = semantic_dedup(df, eps=EPS, n_cells=4, seed=7).collect()
+    key = lambda r: (r["vec_id"], r["group_id"], r["centroid_cos"], r["kept"])  # noqa: E731
+    assert sorted(map(key, out)) == sorted(map(key, out2))
