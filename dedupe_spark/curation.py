@@ -2,6 +2,13 @@
 the ER pipeline, composing the catalog's operators into one job.
 
   docs(doc_id, text, lang)
+    ─ C0 hygiene:  OPTIONAL text cleanup before anything hashes the
+                   text — corpus-boilerplate strip (bounded wordcount +
+                   literal-filter projection), intra-doc repetition
+                   removal, PII scrub (operators/repetition.py,
+                   functions/pii.py). Runs FIRST so that dedup keys,
+                   quality scores and token budgets all see the text
+                   that will actually ship in the shards.
     ─ C1 score:    heuristic quality per doc (functions/text.py)
     ─ C2 exact:    md5 collapse, KEEP-BEST copy (quality desc, doc_id
                    asc) — the 10^6-copy boilerplate block costs one
@@ -61,6 +68,11 @@ class CurationConfig:
     keep_top: float = 1.0
     # tokens per training shard
     shard_tokens: int = 100_000
+    # C0 text hygiene (all off by default — opt-in cleanup)
+    scrub_pii: bool = False
+    dedup_within_doc: bool = False
+    # strip units present in >= this fraction of docs (None = off)
+    boilerplate_doc_frac: float | None = None
 
 
 def curate_corpus(
@@ -71,10 +83,11 @@ def curate_corpus(
 ) -> dict[str, DataFrame]:
     """Curate ``docs(doc_id, text, lang)`` → deduped, gated, sharded.
 
-    Returns the stage DataFrames: ``scored``, ``exact`` (post exact
-    dedup), ``near_edges``, ``deduped`` (post near dedup), ``gated``,
-    ``shards`` (final docs with ``shard_id``), and ``shard_report``
-    (per-shard doc/token rollup). Deterministic at any parallelism —
+    Returns the stage DataFrames: ``hygiene`` (post optional C0
+    cleanup), ``scored``, ``exact`` (post exact dedup), ``near_edges``,
+    ``deduped`` (post near dedup), ``gated``, ``shards`` (final docs
+    with ``shard_id``), and ``shard_report`` (per-shard doc/token
+    rollup). Deterministic at any parallelism —
     ids, hashes, and tie-breaks are all content/key-driven.
 
     ``scratch_dir`` routes the two materialized intermediates to shared
@@ -85,6 +98,27 @@ def curate_corpus(
     cfg = config or CurationConfig()
     out: dict[str, DataFrame] = {}
     seq = next(_SCRATCH_SEQ)
+
+    # C0 — text hygiene (optional, projections only). Order matters:
+    # boilerplate removal sees the raw corpus (its doc-frequency count
+    # must not be skewed by intra-doc dedup), then repeated units go,
+    # then PII placeholders land last so the earlier unit ops never
+    # split or count a '<EMAIL>' token.
+    if cfg.boilerplate_doc_frac is not None:
+        from dedupe_spark.operators.repetition import remove_boilerplate_units
+
+        docs = remove_boilerplate_units(
+            docs, min_doc_frac=cfg.boilerplate_doc_frac
+        ).select("doc_id", F.col("clean_text").alias("text"), "lang")
+    if cfg.dedup_within_doc:
+        from dedupe_spark.operators.repetition import dedup_units
+
+        docs = docs.withColumn("text", dedup_units(F.col("text")))
+    if cfg.scrub_pii:
+        from dedupe_spark.functions.pii import scrub_pii
+
+        docs = docs.withColumn("text", scrub_pii(F.col("text")))
+    out["hygiene"] = docs
 
     # C1 — quality scoring (pure JVM expressions)
     scored = docs.select(

@@ -28,6 +28,12 @@ def main(argv: list[str] | None = None) -> None:
                    help="token budget per training shard")
     p.add_argument("--jaccard-threshold", type=float, default=0.8)
     p.add_argument("--hot-threshold", type=int, default=1000)
+    p.add_argument("--scrub-pii", action="store_true",
+                   help="redact emails/phones/SSNs/IPs before scoring")
+    p.add_argument("--dedup-within-doc", action="store_true",
+                   help="drop repeated whitespace units within each doc")
+    p.add_argument("--boilerplate-doc-frac", type=float, default=None,
+                   help="strip units present in >= this fraction of docs")
     p.add_argument("--scratch-dir", default=None,
                    help="shared-storage dir for materialized intermediates; "
                         "defaults to the sibling <output>_scratch (must be "
@@ -47,6 +53,9 @@ def main(argv: list[str] | None = None) -> None:
         shard_tokens=args.shard_tokens,
         jaccard_threshold=args.jaccard_threshold,
         hot_threshold=args.hot_threshold,
+        scrub_pii=args.scrub_pii,
+        dedup_within_doc=args.dedup_within_doc,
+        boilerplate_doc_frac=args.boilerplate_doc_frac,
     )
     # intermediates must live on storage every executor can reach — the
     # output dir's filesystem qualifies by construction; a SIBLING path,

@@ -102,3 +102,44 @@ def test_scratch_dir_routing(spark, corpus, tmp_path):
     base = curate_corpus(spark, corpus)
     want = sorted(map(tuple, base["shards"].select("doc_id", "shard_id").collect()))
     assert got == want
+
+
+def test_hygiene_stage_cleans_before_dedup(spark):
+    """C0: boilerplate strip + intra-doc dedup + PII scrub run before
+    hashing, so two docs that differ only in boilerplate/PII/repeats
+    collapse as exact duplicates downstream."""
+    boiler = "copyright footer nav"
+    rows = [
+        # docs 0/1: same body, different repeated tail + different PII
+        (0, f"{boiler} alpha beta gamma delta alpha beta mail a@x.com", "en"),
+        (1, f"{boiler} alpha beta gamma delta gamma delta mail b@y.org", "en"),
+        # doc 2: distinct body, shares the boilerplate
+        (2, f"{boiler} epsilon zeta eta theta", "en"),
+        # doc 3: no boilerplate (keeps boiler words under the 0.9 frac? no —
+        # boiler appears in 3/4 = 0.75 >= 0.7 threshold below)
+        (3, "iota kappa lambda mu", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    from dedupe_spark.curation import CurationConfig, curate_corpus
+
+    cfg = CurationConfig(
+        scrub_pii=True,
+        dedup_within_doc=True,
+        boilerplate_doc_frac=0.7,
+        hot_threshold=8,
+        shard_tokens=50,
+    )
+    out = curate_corpus(spark, docs, cfg)
+    hyg = {r["doc_id"]: r["text"] for r in out["hygiene"].collect()}
+    # boilerplate gone, repeats collapsed, PII redacted
+    assert hyg[0] == "alpha beta gamma delta mail <EMAIL>"
+    assert hyg[1] == "alpha beta gamma delta mail <EMAIL>"
+    assert hyg[2] == "epsilon zeta eta theta"
+    assert hyg[3] == "iota kappa lambda mu"
+    # 0 and 1 are now EXACT duplicates: one survives exact dedup
+    ids = {r["doc_id"] for r in out["exact"].collect()}
+    assert (ids & {0, 1}) == {0} and {2, 3} <= ids
+    # shards carry the cleaned text
+    shard_text = {r["doc_id"]: r["text"] for r in out["shards"].collect()}
+    for d, t in shard_text.items():
+        assert "copyright" not in t and "@" not in t.replace("<EMAIL>", "")
