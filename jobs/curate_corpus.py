@@ -34,6 +34,9 @@ def main(argv: list[str] | None = None) -> None:
                    help="drop repeated whitespace units within each doc")
     p.add_argument("--boilerplate-doc-frac", type=float, default=None,
                    help="strip units present in >= this fraction of docs")
+    p.add_argument("--format", choices=("parquet", "jsonl"), default="parquet",
+                   help="shard output format (jsonl = gzipped line-JSON, "
+                        "one file per shard — the training-loader layout)")
     p.add_argument("--scratch-dir", default=None,
                    help="shared-storage dir for materialized intermediates; "
                         "defaults to the sibling <output>_scratch (must be "
@@ -64,7 +67,12 @@ def main(argv: list[str] | None = None) -> None:
     scratch = args.scratch_dir or f"{args.output.rstrip('/')}_scratch"
     t0 = time.time()
     out = curate_corpus(spark, docs, cfg, scratch_dir=scratch)
-    out["shards"].write.mode("overwrite").partitionBy("shard_id").parquet(args.output)
+    if args.format == "jsonl":
+        from dedupe_spark.sources.jsonl import write_jsonl_shards
+
+        write_jsonl_shards(out["shards"], args.output)
+    else:
+        out["shards"].write.mode("overwrite").partitionBy("shard_id").parquet(args.output)
     report = {
         int(r["shard_id"]): (int(r["n_docs"]), int(r["total_tokens"]))
         for r in out["shard_report"].collect()
