@@ -99,13 +99,24 @@ def ivf_build(
     vec_col: str = "embedding",
     seed: int = 7,
     max_iter: int = 10,
+    fit_fraction: float = 1.0,
 ) -> tuple[DataFrame, list[list[float]]]:
     """IVF coarse quantizer: k-means centroids (pyspark.ml, seeded) +
     cell assignment per vector.
 
     Returns (assigned(id, v, cell), centroids). At scale the assigned
     table is written partitioned by cell — a query then scans only its
-    probed cells (partition pruning does the 'inverted file' part)."""
+    probed cells (partition pruning does the 'inverted file' part).
+
+    ``fit_fraction < 1`` fits the k-means on a DETERMINISTIC hash
+    sample (xxhash64 of the id — reproducible at any parallelism,
+    unlike ``DataFrame.sample``) while still assigning EVERY vector.
+    This is how IVF quantizers are trained in practice (faiss trains
+    on ~1-10% and SemDeDup inherits that): centroid quality converges
+    long before the full pass, and at 10^12 rows fitting on the full
+    table would make the k-means iterations — not the dedup — the
+    dominant cost. Assignment stays a single distributed transform
+    against the broadcast centroid model either way."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -113,8 +124,16 @@ def ivf_build(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("v")
     )
     ml_df = dv.withColumn("features", array_to_vector("v"))
+    fit_df = ml_df
+    if fit_fraction < 1.0:
+        # keep xxhash64(id) mod 1e6 < frac*1e6 — content-keyed, so the
+        # fit set is identical across runs, partitionings, and engines
+        fit_df = ml_df.where(
+            F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(1_000_000))
+            < int(fit_fraction * 1_000_000)
+        )
     km = KMeans(k=n_cells, seed=seed, maxIter=max_iter, featuresCol="features")
-    model = km.fit(ml_df)
+    model = km.fit(fit_df)
     assigned = model.transform(ml_df).select(
         "neighbor_id", "v", F.col("prediction").alias("cell")
     )

@@ -23,7 +23,11 @@ Scale shape (the reason this is cluster-scoped at all):
   order-dependent — see streaming/incremental.py's r4 fix);
 * centroids are a driver-side k×dim literal (tiny) broadcast for the
   representative election; no per-row Python anywhere outside the
-  seeded k-means fit (pyspark.ml, itself distributed).
+  seeded k-means fit (pyspark.ml, itself distributed);
+* at 10^12 vectors pass ``fit_fraction`` < 1: the quantizer is fit on
+  a deterministic hash sample (the faiss/SemDeDup practice — centroid
+  quality converges long before a full pass) while assignment still
+  covers every vector.
 
 The keep rule is deterministic: min (centroid_cos, vec_id) per
 component — ties on the cosine fall back to the smaller id.
@@ -50,6 +54,7 @@ def semantic_dedup(
     seed: int = 7,
     hot_threshold: int = 1000,
     salt_buckets: int = 16,
+    fit_fraction: float = 1.0,
 ) -> DataFrame:
     """(vec_id, group_id, centroid_cos, kept) — semantic-duplicate
     groups (transitive closure of within-cell cosine >= eps) with one
@@ -59,7 +64,12 @@ def semantic_dedup(
     job drops; singleton groups are their own representative.
     """
     assigned, centroids = ivf_build(
-        vectors, n_cells=n_cells, id_col=id_col, vec_col=vec_col, seed=seed
+        vectors,
+        n_cells=n_cells,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+        fit_fraction=fit_fraction,
     )
     # assigned(neighbor_id, v, cell) feeds three plan branches (pair
     # generation twice via generate_pairs' size split + the election);

@@ -108,3 +108,16 @@ def test_partitioning_invariance(spark, planted):
     out2 = semantic_dedup(df, eps=EPS, n_cells=4, seed=7).collect()
     key = lambda r: (r["vec_id"], r["group_id"], r["centroid_cos"], r["kept"])  # noqa: E731
     assert sorted(map(key, out)) == sorted(map(key, out2))
+
+
+def test_sample_fit_quantizer_same_groups(spark, planted):
+    """fit_fraction < 1 (the 10^12-row practice: fit the quantizer on
+    a hash sample, assign everything) must not change the duplicate
+    groups — members of a tight paraphrase ball land in one cell under
+    any reasonable centroid set."""
+    vecs, _truth, out = planted
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out2 = semantic_dedup(df, eps=EPS, n_cells=4, seed=7, fit_fraction=0.6).collect()
+    groups1 = {r["vec_id"]: r["group_id"] for r in out}
+    groups2 = {r["vec_id"]: r["group_id"] for r in out2}
+    assert groups1 == groups2
