@@ -55,6 +55,7 @@ def semantic_dedup(
     hot_threshold: int = 1000,
     salt_buckets: int = 16,
     fit_fraction: float = 1.0,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """(vec_id, group_id, centroid_cos, kept) — semantic-duplicate
     groups (transitive closure of within-cell cosine >= eps) with one
@@ -62,6 +63,11 @@ def semantic_dedup(
 
     Rows with ``kept = false`` are the semantic duplicates a curation
     job drops; singleton groups are their own representative.
+
+    ``scratch_dir`` routes the materialized cell-assignment table to
+    shared storage — required on a multi-node cluster, where the
+    default pid-keyed local tempdir is visible to one machine only
+    (same contract as curation.curate_corpus / checkpoints.materialize).
     """
     assigned, centroids = ivf_build(
         vectors,
@@ -74,7 +80,7 @@ def semantic_dedup(
     # assigned(neighbor_id, v, cell) feeds three plan branches (pair
     # generation twice via generate_pairs' size split + the election);
     # checkpoint-to-scratch so the k-means transform runs once.
-    assigned = materialize(assigned, "semdedup_assigned")
+    assigned = materialize(assigned, "semdedup_assigned", scratch_dir=scratch_dir)
 
     spark = vectors.sparkSession
     cent = F.broadcast(

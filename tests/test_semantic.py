@@ -121,3 +121,18 @@ def test_sample_fit_quantizer_same_groups(spark, planted):
     groups1 = {r["vec_id"]: r["group_id"] for r in out}
     groups2 = {r["vec_id"]: r["group_id"] for r in out2}
     assert groups1 == groups2
+
+
+def test_scratch_dir_routes_materialized_cells(spark, planted, tmp_path):
+    """scratch_dir= must route the checkpointed cell-assignment table to
+    the given (shared-storage) path — the multi-node contract — and the
+    output must be unchanged."""
+    vecs, _truth, out = planted
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    scratch = str(tmp_path / "sem_scratch")
+    out2 = semantic_dedup(df, eps=EPS, n_cells=4, seed=7, scratch_dir=scratch).collect()
+    key = lambda r: (r["vec_id"], r["group_id"], r["centroid_cos"], r["kept"])  # noqa: E731
+    assert sorted(map(key, out)) == sorted(map(key, out2))
+    import os
+
+    assert os.path.isdir(os.path.join(scratch, "semdedup_assigned"))
