@@ -10,6 +10,7 @@ evaluated only on block-surviving candidates.
 from __future__ import annotations
 
 import zlib
+from bisect import bisect_left
 
 import numpy as np
 import pandas as pd
@@ -22,6 +23,14 @@ def jaro_winkler(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
 
     Matches DuckDB's ``jaro_winkler_similarity`` (verified in tests) so
     the oracle can cross-check feature values exactly.
+
+    Match search uses a per-character position index of ``s2`` +
+    bisect into the Jaro window instead of scanning the whole window
+    per ``s1`` character — ~4× faster on 128-char prefixes, and
+    BIT-IDENTICAL by construction: for each ``s1[i]`` it still selects
+    the first unflagged ``j`` in ascending order within
+    ``[i-window, i+window]``, the same char the window scan found
+    (fuzz-asserted against the naive scan in tests).
     """
     l1, l2 = len(s1), len(s2)
     if l1 == 0 or l2 == 0:
@@ -31,23 +40,46 @@ def jaro_winkler(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
     window = max(l1, l2) // 2 - 1
     if window < 0:
         window = 0
-    flags2 = [False] * l2
-    matches1 = []
-    for i, c in enumerate(s1):
-        lo, hi = max(0, i - window), min(l2, i + window + 1)
-        for j in range(lo, hi):
-            if not flags2[j] and s2[j] == c:
-                flags2[j] = True
-                matches1.append((i, j))
+    pos: dict[str, list[int]] = {}
+    for j in range(l2):
+        c = s2[j]
+        p = pos.get(c)
+        if p is None:
+            pos[c] = [j]
+        else:
+            p.append(j)
+    flags2 = bytearray(l2)
+    m1j: list[int] = []  # matched s2 positions, in s1-scan order
+    for i in range(l1):
+        lst = pos.get(s1[i])
+        if lst is None:
+            continue
+        lo = i - window
+        if lo < 0:
+            lo = 0
+        hi = i + window + 1
+        k = bisect_left(lst, lo)
+        n = len(lst)
+        while k < n:
+            j = lst[k]
+            if j >= hi:
                 break
-    m = len(matches1)
+            if not flags2[j]:
+                flags2[j] = 1
+                m1j.append(j)
+                break
+            k += 1
+    m = len(m1j)
     if m == 0:
         return 0.0
-    # transpositions: matched chars of s2 in order of their s1 match
-    s2_matched = [s2[j] for _, j in sorted(matches1, key=lambda t: t[0])]
-    s2_in_order = [s2[j] for j in sorted(j for _, j in matches1)]
-    # RapidFuzz/DuckDB convention: t = floor(differing positions / 2)
-    t = sum(a != b for a, b in zip(s2_matched, s2_in_order)) // 2
+    # transpositions — RapidFuzz/DuckDB convention: matched s2 chars in
+    # s1-match order vs in s2 order; t = floor(differing positions / 2)
+    sj = sorted(m1j)
+    t = 0
+    for a, b in zip(m1j, sj):
+        if s2[a] != s2[b]:
+            t += 1
+    t //= 2
     jaro = (m / l1 + m / l2 + (m - t) / m) / 3
     if jaro <= 0.7:  # Winkler boost threshold (DuckDB-compatible)
         return jaro
@@ -182,6 +214,122 @@ def tfidf_cosine_global_udf(idf: np.ndarray, sc=None):
         )
 
     return udf
+
+
+# ---------------------------------------------------------------------------
+# Doc-major feature kernels (scale path for the scoring stage)
+#
+# The pair-local UDFs above re-tokenize each text once PER PAIR; with
+# blocking fan-out a doc participates in ~10-30 candidate pairs, so the
+# same split/hash work runs that many times, in Python. The kernels
+# below move tokenization to a once-PER-DOC prep step and make the
+# per-pair math pure JVM (collection functions on the prepped arrays/
+# maps) — the only Python left per pair is Jaro-Winkler's char loop.
+# operators/scoring.py composes them; the text-based UDFs stay as the
+# oracle twins (tests assert value equality on corpus pairs).
+# ---------------------------------------------------------------------------
+
+
+def jaccard_from_shingles(sh1, sh2):
+    """|A∩B| / |A∪B| over prepped shingle-hash arrays — pure JVM
+    (array_intersect/array_union), same special cases as
+    :func:`token_jaccard`: both empty → 1.0 (nothing else can make the
+    union empty)."""
+    inter = F.size(F.array_intersect(sh1, sh2))
+    union = F.size(F.array_union(sh1, sh2))
+    return F.when(
+        (F.size(sh1) == 0) & (F.size(sh2) == 0), F.lit(1.0)
+    ).otherwise(inter.cast("double") / union)
+
+
+def doc_prep_udf(idf: np.ndarray | None = None, sc=None, width: int = 3):
+    """Pandas-UDF factory: text → struct(sh array<bigint>, idx
+    array<int>, val array<double>) — ONE tokenization pass per
+    document emitting
+
+    * ``sh`` — the distinct word-``width``-shingle set of
+      :func:`token_jaccard`, each shingle replaced by the first 8
+      bytes of its md5 (64-bit, so a within-pair collision is ~1e-12;
+      only set relations matter — both docs of a pair are hashed by
+      this same function);
+    * ``idx``/``val`` — the sparse hashed log-TF vector of
+      :func:`_tf_vector` (× ``idf[bucket]`` when given, the
+      ``use_global_idf`` variant).
+
+    ``sc`` ships the 512 KB IDF vector as a proper broadcast. Per-doc
+    Python here is the whole point: it replaces the same work done
+    once per PAIR by the text UDFs."""
+    import hashlib
+
+    bcast = sc.broadcast(idf) if (idf is not None and sc is not None) else None
+    ret = T.StructType(
+        [
+            T.StructField("sh", T.ArrayType(T.LongType())),
+            T.StructField("idx", T.ArrayType(T.IntegerType())),
+            T.StructField("val", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    @F.pandas_udf(ret)
+    def udf(s: pd.Series) -> pd.DataFrame:
+        w = bcast.value if bcast is not None else idf
+        shs: list[list[int]] = []
+        idxs: list[list[int]] = []
+        vals: list[list[float]] = []
+        md5 = hashlib.md5
+        for t in s:
+            toks = (t or "").split()
+            # shingle-hash set (token_jaccard's set, 64-bit-hashed)
+            if not toks:
+                shingles: set[str] = set()
+            elif len(toks) < width:
+                shingles = {" ".join(toks)}
+            else:
+                shingles = {
+                    " ".join(toks[i : i + width])
+                    for i in range(len(toks) - width + 1)
+                }
+            shs.append(
+                [
+                    int.from_bytes(md5(x.encode("utf-8")).digest()[:8], "little", signed=True)
+                    for x in shingles
+                ]
+            )
+            # hashed log-TF (same buckets/values as _tf_vector)
+            counts: dict[int, int] = {}
+            for tok in toks:
+                h = zlib.crc32(tok.encode("utf-8")) % TF_DIM
+                counts[h] = counts.get(h, 0) + 1
+            ks = sorted(counts)
+            if w is None:
+                vs = [1.0 + float(np.log(counts[k])) for k in ks]
+            else:
+                vs = [(1.0 + float(np.log(counts[k]))) * w[k] for k in ks]
+            idxs.append(ks)
+            vals.append(vs)
+        return pd.DataFrame({"sh": shs, "idx": idxs, "val": vals})
+
+    return udf
+
+
+def tf_cosine_from_maps(m1, n1, m2, n2):
+    """Cosine over prepped map<int,double> TF vectors with precomputed
+    norms — pure JVM (map_zip_with merge + aggregate dot). Matches
+    :func:`_weighted_cosine`: both empty → 1.0, one empty → 0.0
+    (values differ from the Python twin only in float summation order,
+    ~1e-15 relative)."""
+    prod = F.map_zip_with(m1, m2, lambda _k, a, b: a * b)  # null if unpaired
+    dot = F.aggregate(
+        F.map_values(prod),
+        F.lit(0.0),
+        lambda acc, x: acc + F.coalesce(x, F.lit(0.0)),
+    )
+    e1, e2 = F.size(m1) == 0, F.size(m2) == 0
+    return (
+        F.when(e1 & e2, F.lit(1.0))
+        .when(e1 | e2, F.lit(0.0))
+        .otherwise(dot / (n1 * n2))
+    )
 
 
 def cosine_expr(v1, v2):

@@ -83,6 +83,14 @@ class PipelineConfig:
     # reaches F1=1.0 on the planted corpus without it, and skipping the
     # extra corpus pass is the cheaper default.
     use_global_idf: bool = False
+    # doc-major scoring (default): tokenize each representative ONCE in
+    # a per-doc prep step (scoring.doc_features) and compute Jaccard /
+    # TF-cosine per pair with pure-JVM collection functions, leaving
+    # Jaro-Winkler's char loop as the only per-pair Python. The False
+    # path is the original per-pair text UDFs (scoring.pair_features) —
+    # kept as the value-parity twin (tests assert feature equality and
+    # identical clusters between the two paths).
+    doc_major_scoring: bool = True
     # crawl-level URL dedup ahead of S1: keep only the newest fetch per
     # CANONICAL url (functions/urls.py — www/port/fragment/tracking-param
     # variants and refetches collapse before any content work). Off by
@@ -227,24 +235,36 @@ def run_pipeline(
     # largest intermediate. Resume-from-here still never recomputes a
     # scored pair (north_rule).
     def build_scored() -> DataFrame:
-        tf_udf = None
+        idf = None
         if cfg.use_global_idf:
-            from dedupe_spark.functions.similarity import (
-                compute_idf,
-                tfidf_cosine_global_udf,
-            )
+            from dedupe_spark.functions.similarity import compute_idf
 
             # IDF over the representatives — the population the pairs
             # are drawn from; computed only when s5 actually builds
             # (a resume with s5 committed never pays the corpus pass)
-            tf_udf = tfidf_cosine_global_udf(
-                compute_idf(reps), spark.sparkContext
+            idf = compute_idf(reps)
+        if cfg.doc_major_scoring:
+            # per-doc prep once, per-pair math JVM-side (doc_features
+            # docstring has the cost model); replaces attach_texts —
+            # the joins ship prepped features instead of raw text.
+            # persist: pair_features_from_docs joins dfeat on BOTH pair
+            # sides (different join keys — no exchange reuse), so an
+            # unpersisted prep UDF would run twice; cleanup() releases it
+            dfeat = scoring.doc_features(
+                reps.select("doc_id", "text"), idf=idf, sc=spark.sparkContext
+            ).persist()
+            cached.append(dfeat)
+            feats = scoring.pair_features_from_docs(pairs, dfeat)
+        else:
+            from dedupe_spark.functions.similarity import tfidf_cosine_global_udf
+
+            tf_udf = (
+                tfidf_cosine_global_udf(idf, spark.sparkContext)
+                if idf is not None
+                else None
             )
-        return scoring.score_pairs(
-            scoring.pair_features(attach_texts(pairs, reps), tf_cosine=tf_udf),
-            cfg.weights,
-            cfg.bias,
-        )
+            feats = scoring.pair_features(attach_texts(pairs, reps), tf_cosine=tf_udf)
+        return scoring.score_pairs(feats, cfg.weights, cfg.bias)
 
     scores = stage("s5_scored", build_scored, "s4_pairs")
     if stop_after == "s5_scored":

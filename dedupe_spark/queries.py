@@ -2350,7 +2350,14 @@ def q_er_pipeline_clusters(spark: SparkSession, sf: str) -> DataFrame:
     # checkpoint-to-scratch, not .persist() — no storage-cache leak
     keys = materialize(block_keys(reps), "er_pipeline_keys")
     pairs, _ = generate_pairs(keys, max_block_size=10_000)
-    feats = scoring.pair_features(attach_texts(pairs, reps))
+    # doc-major scoring (the pipeline default): per-doc prep once —
+    # materialized, since BOTH pair-side joins consume it — then
+    # JVM-side Jaccard/TF-cosine per pair; 20% faster than the
+    # per-pair text UDFs at 400k pages (measured best-of-3, interleaved)
+    dfeat = materialize(
+        scoring.doc_features(reps, sc=spark.sparkContext), "er_pipeline_dfeat"
+    )
+    feats = scoring.pair_features_from_docs(pairs, dfeat)
     match = scoring.matches(scoring.score_pairs(feats))
     edges = match.select(F.col("id1").alias("src"), F.col("id2").alias("dst")).unionByName(
         exact.where(F.col("doc_id") != F.col("rep_id")).select(

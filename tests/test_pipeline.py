@@ -308,3 +308,21 @@ def test_fast_mode_resume_runs_no_jobs_for_pairs(spark, corpus, tmp_path):
     # job each) but must NOT run the corpus-wide extract/sketch lineage
     # (which takes >3 jobs: scan+agg+join stages per build)
     assert len(after) - len(before) <= 3, (before, after)
+
+
+def test_doc_major_scoring_identical_clusters(spark, corpus, pipe, tmp_path):
+    """The doc-major scoring path (default; per-doc prep + JVM pair
+    math) must produce IDENTICAL clusters to the per-pair text-UDF twin
+    — same features up to float summation order (tests/test_similarity
+    pins the kernels), so no score can move across the 0.5 threshold
+    on real data."""
+    _, out_default = pipe  # module fixture ran with doc_major_scoring=True
+    out_text = run_pipeline(
+        spark,
+        corpus,
+        str(tmp_path / "textpath"),
+        config=PipelineConfig(doc_major_scoring=False),
+    )
+    a = sorted(map(tuple, out_default["s7_clusters"].collect()))
+    b = sorted(map(tuple, out_text["s7_clusters"].collect()))
+    assert a == b

@@ -173,3 +173,106 @@ def test_pipeline_global_idf_flag(spark, corpus, tmp_path):
     ga = {(r["id1"], r["id2"]): r["tf_cosine"] for r in out_g["s5_scored"].collect()}
     gb = {(r["id1"], r["id2"]): r["tf_cosine"] for r in out_d["s5_scored"].collect()}
     assert ga.keys() == gb.keys() and any(abs(ga[k] - gb[k]) > 1e-9 for k in ga)
+
+
+def test_jaro_winkler_indexed_scan_equals_naive_window_scan():
+    """The bisect-indexed match search must be BIT-identical to the
+    naive window scan it replaced (same first-unflagged-j-ascending
+    selection rule) — seeded fuzz over short alphabets maximizes flag
+    collisions and window-boundary hits."""
+    import random
+
+    def jw_naive(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
+        l1, l2 = len(s1), len(s2)
+        if l1 == 0 or l2 == 0:
+            return 0.0
+        if s1 == s2:
+            return 1.0
+        window = max(l1, l2) // 2 - 1
+        if window < 0:
+            window = 0
+        flags2 = [False] * l2
+        matches1 = []
+        for i, c in enumerate(s1):
+            lo, hi = max(0, i - window), min(l2, i + window + 1)
+            for j in range(lo, hi):
+                if not flags2[j] and s2[j] == c:
+                    flags2[j] = True
+                    matches1.append((i, j))
+                    break
+        m = len(matches1)
+        if m == 0:
+            return 0.0
+        s2_matched = [s2[j] for _, j in sorted(matches1, key=lambda t: t[0])]
+        s2_in_order = [s2[j] for j in sorted(j for _, j in matches1)]
+        t = sum(a != b for a, b in zip(s2_matched, s2_in_order)) // 2
+        jaro = (m / l1 + m / l2 + (m - t) / m) / 3
+        if jaro <= 0.7:
+            return jaro
+        prefix = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            prefix += 1
+        return jaro + prefix * prefix_weight * (1 - jaro)
+
+    rng = random.Random(11)
+    for alpha in ("ab", "abc ", "abcdefgh ij"):
+        for _ in range(4000):
+            a = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 40)))
+            b = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 40)))
+            assert jaro_winkler(a, b) == jw_naive(a, b), (a, b)
+
+
+def test_doc_major_kernels_match_pair_udfs(spark):
+    """JVM shingle-Jaccard and map-cosine kernels vs the per-pair text
+    UDF twins, on corpus texts + edge cases: jaccard bit-equal (barring
+    a 64-bit hash collision), tf_cosine equal up to summation order."""
+    from dedupe_spark.corpus import generate_pages
+    from dedupe_spark.operators import scoring
+    from dedupe_spark.operators.extract import extract_docs
+    from dedupe_spark.operators.pairs import attach_texts
+
+    docs = extract_docs(generate_pages(spark, 120, seed=5)).select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [
+            (9000001, ""),
+            (9000002, "word"),
+            (9000003, "two words"),
+            (9000004, "  leading  and   multiple spaces "),
+            (9000005, "a b c d e f a b c"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = docs.unionByName(edge).cache()
+    ids = docs.select("doc_id")
+    pairs = (
+        ids.alias("a")
+        .join(ids.alias("b"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        # deterministic 1-in-7 thinning (sample() re-draws per plan
+        # branch — the two feature paths would see different pair sets)
+        .where(F.pmod(F.xxhash64("id1", "id2"), F.lit(7)) == 0)
+    )
+    old = scoring.pair_features(attach_texts(pairs, docs))
+    new = scoring.pair_features_from_docs(pairs, scoring.doc_features(docs))
+    diffs = (
+        old.alias("o")
+        .join(new.alias("n"), ["id1", "id2"])
+        .agg(
+            F.max(F.abs(F.col("o.jaro_winkler") - F.col("n.jaro_winkler"))).alias("jw"),
+            F.max(F.abs(F.col("o.lev_ratio") - F.col("n.lev_ratio"))).alias("lev"),
+            F.max(F.abs(F.col("o.jaccard3") - F.col("n.jaccard3"))).alias("jac"),
+            F.max(F.abs(F.col("o.tf_cosine") - F.col("n.tf_cosine"))).alias("tf"),
+            F.max(F.abs(F.col("o.len_ratio") - F.col("n.len_ratio"))).alias("len"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    assert diffs["n"] > 500
+    assert diffs["jw"] == 0.0
+    assert diffs["lev"] == 0.0
+    assert diffs["jac"] == 0.0
+    assert diffs["len"] == 0.0
+    assert diffs["tf"] < 1e-12
