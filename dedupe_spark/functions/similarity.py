@@ -259,8 +259,6 @@ def doc_prep_udf(idf: np.ndarray | None = None, sc=None, width: int = 3):
     ``sc`` ships the 512 KB IDF vector as a proper broadcast. Per-doc
     Python here is the whole point: it replaces the same work done
     once per PAIR by the text UDFs."""
-    import hashlib
-
     bcast = sc.broadcast(idf) if (idf is not None and sc is not None) else None
     ret = T.StructType(
         [
@@ -276,25 +274,9 @@ def doc_prep_udf(idf: np.ndarray | None = None, sc=None, width: int = 3):
         shs: list[list[int]] = []
         idxs: list[list[int]] = []
         vals: list[list[float]] = []
-        md5 = hashlib.md5
         for t in s:
             toks = (t or "").split()
-            # shingle-hash set (token_jaccard's set, 64-bit-hashed)
-            if not toks:
-                shingles: set[str] = set()
-            elif len(toks) < width:
-                shingles = {" ".join(toks)}
-            else:
-                shingles = {
-                    " ".join(toks[i : i + width])
-                    for i in range(len(toks) - width + 1)
-                }
-            shs.append(
-                [
-                    int.from_bytes(md5(x.encode("utf-8")).digest()[:8], "little", signed=True)
-                    for x in shingles
-                ]
-            )
+            shs.append(_shingle_hash_list(toks, width))
             # hashed log-TF (same buckets/values as _tf_vector)
             counts: dict[int, int] = {}
             for tok in toks:
@@ -310,6 +292,35 @@ def doc_prep_udf(idf: np.ndarray | None = None, sc=None, width: int = 3):
         return pd.DataFrame({"sh": shs, "idx": idxs, "val": vals})
 
     return udf
+
+
+def _shingle_hash_list(toks: list[str], width: int = 3) -> list[int]:
+    """Distinct word-``width``-shingles of a token list (the set
+    :func:`token_jaccard` builds), each as the first 8 bytes of its
+    md5 — 64-bit, so a within-pair collision is ~1e-12; only set
+    relations matter, and both sides of any pair are hashed by this
+    same function."""
+    import hashlib
+
+    if not toks:
+        sh: set[str] = set()
+    elif len(toks) < width:
+        sh = {" ".join(toks)}
+    else:
+        sh = {" ".join(toks[i : i + width]) for i in range(len(toks) - width + 1)}
+    md5 = hashlib.md5
+    return [
+        int.from_bytes(md5(x.encode("utf-8")).digest()[:8], "little", signed=True)
+        for x in sh
+    ]
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def shingle_hashes_udf(s: pd.Series) -> pd.Series:
+    """text → shingle-hash set (:func:`_shingle_hash_list`) — the
+    per-DOC half of a doc-major Jaccard refine: pair with
+    :func:`jaccard_from_shingles` on the pair side."""
+    return pd.Series([_shingle_hash_list((t or "").split()) for t in s])
 
 
 def tf_cosine_from_maps(m1, n1, m2, n2):
