@@ -2372,7 +2372,43 @@ def q_er_pipeline_clusters(spark: SparkSession, sf: str) -> DataFrame:
 # Registry
 # ---------------------------------------------------------------------------
 
+# Dict order matters: the round driver's correctness sweep records the
+# FIRST 50 entries only (observed cap across CORRECTNESS_r01..r04).  Round 5
+# rotates the 27 queries that sat at positions 51-77 (15 oracle-bearing
+# entries never present in any driver record, plus 12 whose last green row
+# was r1/r2) to the front so CORRECTNESS_r05.json captures them; the 27 now
+# pushed past the cap all have 3-4 green driver rounds on record
+# (CORRECTNESS_r01..r04) plus scripts/check_oracles.py coverage every round.
 QUERIES: dict[str, QueryFn] = {
+    # --- rotated in (never / stale in driver records before r5) ---
+    "token_entropy": q_token_entropy,
+    "source_overlap": q_source_overlap,
+    "url_canonical_dedup": q_url_canonical_dedup,
+    "shingle_containment_pairs": q_shingle_containment_pairs,
+    "dedup_rate_by_source": q_dedup_rate_by_source,
+    "quality_percentile_filter": q_quality_percentile_filter,
+    "recrawl_diff": q_recrawl_diff,
+    "table_profile": q_table_profile,
+    "embedding_centroids": q_embedding_centroids,
+    "domain_balance_cap": q_domain_balance_cap,
+    "shingle_novelty": q_shingle_novelty,
+    "bigram_surprisal": q_bigram_surprisal,
+    "pii_scrub": q_pii_scrub,
+    "intra_doc_dedup": q_intra_doc_dedup,
+    "boilerplate_removal": q_boilerplate_removal,
+    "curation_pipeline": q_curation_pipeline,
+    "cc_clusters": q_cc_clusters,
+    "cluster_size_histogram": q_cluster_size_histogram,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    "semantic_dedup_groups": q_semantic_dedup_groups,
+    "image_near_dups": q_image_near_dups,
+    "audio_near_dups": q_audio_near_dups,
+    "er_pipeline_clusters": q_er_pipeline_clusters,
+    # --- long-stable entries (green in r1-r4 driver records) ---
     "block_discovery": q_block_discovery,
     "block_priority": q_block_priority,
     "facet_lang": q_facet_lang,
@@ -2423,36 +2459,28 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_length_profile": q_corpus_length_profile,
     "token_shard_packing": q_token_shard_packing,
     "lexical_diversity": q_lexical_diversity,
-    "token_entropy": q_token_entropy,
-    "source_overlap": q_source_overlap,
-    "url_canonical_dedup": q_url_canonical_dedup,
-    "shingle_containment_pairs": q_shingle_containment_pairs,
-    "dedup_rate_by_source": q_dedup_rate_by_source,
-    "quality_percentile_filter": q_quality_percentile_filter,
-    "recrawl_diff": q_recrawl_diff,
-    "table_profile": q_table_profile,
-    "embedding_centroids": q_embedding_centroids,
-    "domain_balance_cap": q_domain_balance_cap,
-    "shingle_novelty": q_shingle_novelty,
-    "bigram_surprisal": q_bigram_surprisal,
-    "pii_scrub": q_pii_scrub,
-    "intra_doc_dedup": q_intra_doc_dedup,
-    "boilerplate_removal": q_boilerplate_removal,
-    "curation_pipeline": q_curation_pipeline,
-    "cc_clusters": q_cc_clusters,
-    "cluster_size_histogram": q_cluster_size_histogram,
-    "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "simhash_pairs": q_simhash_pairs,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-    "semantic_dedup_groups": q_semantic_dedup_groups,
-    "image_near_dups": q_image_near_dups,
-    "audio_near_dups": q_audio_near_dups,
-    "er_pipeline_clusters": q_er_pipeline_clusters,
 }
 
 ORACLES: dict[str, str] = {
+    # --- rotated in with QUERIES (see note above) ---
+    "token_entropy": SQL_TOKEN_ENTROPY,
+    "source_overlap": SQL_SOURCE_OVERLAP,
+    "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
+    "shingle_containment_pairs": SQL_SHINGLE_CONTAINMENT_PAIRS,
+    "dedup_rate_by_source": SQL_DEDUP_RATE_BY_SOURCE,
+    "quality_percentile_filter": SQL_QUALITY_PERCENTILE_FILTER,
+    "recrawl_diff": SQL_RECRAWL_DIFF,
+    "table_profile": SQL_TABLE_PROFILE,
+    "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
+    "domain_balance_cap": SQL_DOMAIN_BALANCE_CAP,
+    "shingle_novelty": SQL_SHINGLE_NOVELTY,
+    "bigram_surprisal": SQL_BIGRAM_SURPRISAL,
+    "pii_scrub": SQL_PII_SCRUB,
+    "intra_doc_dedup": SQL_INTRA_DOC_DEDUP,
+    "boilerplate_removal": SQL_BOILERPLATE_REMOVAL,
+    "cc_clusters": SQL_CC_CLUSTERS,
+    "cluster_size_histogram": SQL_CLUSTER_SIZE_HISTOGRAM,
+    # --- long-stable entries ---
     "block_discovery": SQL_BLOCK_DISCOVERY,
     "block_priority": SQL_BLOCK_PRIORITY,
     "facet_lang": SQL_FACET_LANG,
@@ -2503,23 +2531,6 @@ ORACLES: dict[str, str] = {
     "corpus_length_profile": SQL_CORPUS_LENGTH_PROFILE,
     "token_shard_packing": SQL_TOKEN_SHARD_PACKING,
     "lexical_diversity": SQL_LEXICAL_DIVERSITY,
-    "token_entropy": SQL_TOKEN_ENTROPY,
-    "source_overlap": SQL_SOURCE_OVERLAP,
-    "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
-    "shingle_containment_pairs": SQL_SHINGLE_CONTAINMENT_PAIRS,
-    "dedup_rate_by_source": SQL_DEDUP_RATE_BY_SOURCE,
-    "quality_percentile_filter": SQL_QUALITY_PERCENTILE_FILTER,
-    "recrawl_diff": SQL_RECRAWL_DIFF,
-    "table_profile": SQL_TABLE_PROFILE,
-    "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
-    "domain_balance_cap": SQL_DOMAIN_BALANCE_CAP,
-    "shingle_novelty": SQL_SHINGLE_NOVELTY,
-    "bigram_surprisal": SQL_BIGRAM_SURPRISAL,
-    "pii_scrub": SQL_PII_SCRUB,
-    "intra_doc_dedup": SQL_INTRA_DOC_DEDUP,
-    "boilerplate_removal": SQL_BOILERPLATE_REMOVAL,
-    "cc_clusters": SQL_CC_CLUSTERS,
-    "cluster_size_histogram": SQL_CLUSTER_SIZE_HISTOGRAM,
     # Rows-only (no ANSI-SQL oracle, Python oracles in pytest instead):
     # minhash_lsh_pairs / simhash_pairs (sketches — test_hashing.py),
     # ann_lsh_topk / ann_ivf_topk / embedding_near_dup_lsh (approximate
