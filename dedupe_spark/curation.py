@@ -77,6 +77,15 @@ class CurationConfig:
     dedup_within_doc: bool = False
     # strip units present in >= this fraction of docs (None = off)
     boilerplate_doc_frac: float | None = None
+    # unit granularity for the C0 unit operators: split regex + re-join
+    # literal. LINES are the production unit (repetition.py's contract —
+    # C4/RefinedWeb dedup lines/spans, not words): at token granularity
+    # dedup_within_doc would delete every repeated word in a document
+    # and boilerplate_doc_frac would strip common stopwords from every
+    # doc. Whitespace units (r"\s+", " ") remain available for
+    # newline-free fixtures only.
+    hygiene_unit_sep: str = "\n"
+    hygiene_join_sep: str = "\n"
 
 
 def curate_corpus(
@@ -112,12 +121,18 @@ def curate_corpus(
         from dedupe_spark.operators.repetition import remove_boilerplate_units
 
         docs = remove_boilerplate_units(
-            docs, min_doc_frac=cfg.boilerplate_doc_frac
+            docs,
+            sep=cfg.hygiene_unit_sep,
+            join_sep=cfg.hygiene_join_sep,
+            min_doc_frac=cfg.boilerplate_doc_frac,
         ).select("doc_id", F.col("clean_text").alias("text"), "lang")
     if cfg.dedup_within_doc:
         from dedupe_spark.operators.repetition import dedup_units
 
-        docs = docs.withColumn("text", dedup_units(F.col("text")))
+        docs = docs.withColumn(
+            "text",
+            dedup_units(F.col("text"), cfg.hygiene_unit_sep, cfg.hygiene_join_sep),
+        )
     if cfg.scrub_pii:
         from dedupe_spark.functions.pii import scrub_pii
 

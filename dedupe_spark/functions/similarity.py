@@ -336,9 +336,14 @@ def tf_cosine_from_maps(m1, n1, m2, n2):
         lambda acc, x: acc + F.coalesce(x, F.lit(0.0)),
     )
     e1, e2 = F.size(m1) == 0, F.size(m2) == 0
+    # n==0 with a non-empty map is reachable under use_global_idf=True when
+    # every token of a doc is corpus-ubiquitous (df == n_docs → idf 0 for all
+    # buckets).  Without the guard, ANSI mode aborts the job (DIVIDE_BY_ZERO)
+    # and non-ANSI yields NULL — the Python twin returns 0.0.
     return (
         F.when(e1 & e2, F.lit(1.0))
         .when(e1 | e2, F.lit(0.0))
+        .when((n1 * n2) == 0, F.lit(0.0))
         .otherwise(dot / (n1 * n2))
     )
 

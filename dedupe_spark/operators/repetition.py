@@ -80,10 +80,13 @@ def boilerplate_units(
         .agg(F.count(F.lit(1)).alias("ndocs"))
         .where(F.col("ndocs") >= min_doc_frac * n_docs)
     )
-    rows = freq.select("unit").collect()
+    # limit() BEFORE collect(): a min_doc_frac far below the design range
+    # must fail the size assertion without first pulling an unbounded list
+    # onto the driver.
+    rows = freq.select("unit").limit(MAX_BLOCKLIST + 1).collect()
     if len(rows) > MAX_BLOCKLIST:
         raise ValueError(
-            f"boilerplate blocklist has {len(rows)} units (> {MAX_BLOCKLIST}); "
+            f"boilerplate blocklist exceeds {MAX_BLOCKLIST} units; "
             f"min_doc_frac={min_doc_frac} is below this operator's design range — "
             "use an anti-join formulation for rare-unit removal"
         )

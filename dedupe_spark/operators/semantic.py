@@ -35,6 +35,8 @@ component — ties on the cosine fall back to the smaller id.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -43,6 +45,12 @@ from dedupe_spark.operators.ann import ivf_build
 from dedupe_spark.operators.cc import assign_all
 from dedupe_spark.operators.pairs import generate_pairs
 from dedupe_spark.sources.checkpoints import materialize
+
+# Per-call suffix for the materialized cell-assignment table: two
+# concurrent runs sharing a scratch_dir (or overlapping calls in one
+# process — the default path is only pid-keyed) must not overwrite each
+# other's parquet mid-plan. Same design as curation._SCRATCH_SEQ.
+_MAT_SEQ = itertools.count()
 
 
 def semantic_dedup(
@@ -80,7 +88,9 @@ def semantic_dedup(
     # assigned(neighbor_id, v, cell) feeds three plan branches (pair
     # generation twice via generate_pairs' size split + the election);
     # checkpoint-to-scratch so the k-means transform runs once.
-    assigned = materialize(assigned, "semdedup_assigned", scratch_dir=scratch_dir)
+    assigned = materialize(
+        assigned, f"semdedup_assigned_{next(_MAT_SEQ)}", scratch_dir=scratch_dir
+    )
 
     spark = vectors.sparkSession
     cent = F.broadcast(

@@ -30,6 +30,7 @@ reader.
 
 from __future__ import annotations
 
+import logging
 import zlib
 from collections.abc import Iterator
 from datetime import datetime, timezone
@@ -63,7 +64,10 @@ def _iter_gzip_members(buf: bytes) -> Iterator[bytes]:
     ``memoryview`` window, so the per-member compressed-tail copy is at
     most one window (1 MiB), not the remaining shard. A truncated
     trailing member yields its partial bytes and stops — same semantics
-    as the record walker's drop-truncated rule."""
+    as the record walker's drop-truncated rule. Mid-stream CORRUPTION
+    (zlib.error — bad deflate data, not mere truncation) also stops,
+    but loudly: a warning with the shard byte offset goes to the
+    executor log so silently-shortened shards are diagnosable."""
     view = memoryview(buf)
     pos, n = 0, len(buf)
     window = 1 << 20
@@ -76,8 +80,18 @@ def _iter_gzip_members(buf: bytes) -> Iterator[bytes]:
         chunk = view[pos : pos + window]
         try:
             parts.append(d.decompress(chunk))
-        except zlib.error:
-            return  # corrupt member — stop at what we have
+        except zlib.error as exc:
+            # Corruption, not truncation: deflate data failed mid-stream.
+            # Remaining members of this shard are unreachable (no framing
+            # to resync on) — stop at what we have, but say so.
+            logging.getLogger(__name__).warning(
+                "corrupt gzip member at shard offset %d (%s); "
+                "dropping the remaining %d compressed bytes",
+                pos,
+                exc,
+                n - pos,
+            )
+            return
         pos += len(chunk)
         if d.eof:
             pos -= len(d.unused_data)  # rewind to the next member's start

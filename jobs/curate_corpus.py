@@ -31,9 +31,18 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--scrub-pii", action="store_true",
                    help="redact emails/phones/SSNs/IPs before scoring")
     p.add_argument("--dedup-within-doc", action="store_true",
-                   help="drop repeated whitespace units within each doc")
+                   help="drop repeated units within each doc "
+                        "(unit per --hygiene-unit)")
     p.add_argument("--boilerplate-doc-frac", type=float, default=None,
                    help="strip units present in >= this fraction of docs")
+    p.add_argument("--hygiene-unit", choices=("line", "token"), default="line",
+                   help="unit granularity for --dedup-within-doc / "
+                        "--boilerplate-doc-frac: 'line' (production — "
+                        "banners, repeated spans) or 'token' (whitespace "
+                        "words; only sensible for newline-free corpora — "
+                        "at token level boilerplate removal strips common "
+                        "stopwords and intra-doc dedup deletes every "
+                        "repeated word)")
     p.add_argument("--format", choices=("parquet", "jsonl"), default="parquet",
                    help="shard output format (jsonl = gzipped line-JSON, "
                         "one file per shard — the training-loader layout)")
@@ -59,6 +68,8 @@ def main(argv: list[str] | None = None) -> None:
         scrub_pii=args.scrub_pii,
         dedup_within_doc=args.dedup_within_doc,
         boilerplate_doc_frac=args.boilerplate_doc_frac,
+        hygiene_unit_sep="\n" if args.hygiene_unit == "line" else r"\s+",
+        hygiene_join_sep="\n" if args.hygiene_unit == "line" else " ",
     )
     # intermediates must live on storage every executor can reach — the
     # output dir's filesystem qualifies by construction; a SIBLING path,

@@ -126,6 +126,10 @@ def test_hygiene_stage_cleans_before_dedup(spark):
         scrub_pii=True,
         dedup_within_doc=True,
         boilerplate_doc_frac=0.7,
+        # newline-free fixture → whitespace-token units (the production
+        # default is line units; see test_hygiene_line_units)
+        hygiene_unit_sep=r"\s+",
+        hygiene_join_sep=" ",
         hot_threshold=8,
         shard_tokens=50,
     )
@@ -143,3 +147,32 @@ def test_hygiene_stage_cleans_before_dedup(spark):
     shard_text = {r["doc_id"]: r["text"] for r in out["shards"].collect()}
     for d, t in shard_text.items():
         assert "copyright" not in t and "@" not in t.replace("<EMAIL>", "")
+
+
+def test_hygiene_line_units_default(spark):
+    """The DEFAULT hygiene unit is the line (ADVICE r4): a cookie-banner
+    line shared across docs is stripped and a repeated line is deduped,
+    while repeated WORDS inside a line and stopwords survive untouched —
+    token granularity would have corrupted both."""
+    banner = "Accept all cookies to continue"
+    rows = [
+        (0, f"{banner}\nthe cat and the dog and the bird\nrepeat line\nrepeat line", "en"),
+        (1, f"{banner}\na totally different body of text", "en"),
+        (2, f"{banner}\nthe third document also mentions the cat", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    from dedupe_spark.curation import CurationConfig, curate_corpus
+
+    cfg = CurationConfig(
+        dedup_within_doc=True,
+        boilerplate_doc_frac=0.9,
+        hot_threshold=8,
+        shard_tokens=50,
+    )
+    out = curate_corpus(spark, docs, cfg)
+    hyg = {r["doc_id"]: r["text"] for r in out["hygiene"].collect()}
+    # banner line (3/3 docs) stripped; repeated line deduped to one copy;
+    # intra-line repeated words ("the", "and") and stopwords intact
+    assert hyg[0] == "the cat and the dog and the bird\nrepeat line"
+    assert hyg[1] == "a totally different body of text"
+    assert hyg[2] == "the third document also mentions the cat"

@@ -135,4 +135,6 @@ def test_scratch_dir_routes_materialized_cells(spark, planted, tmp_path):
     assert sorted(map(key, out)) == sorted(map(key, out2))
     import os
 
-    assert os.path.isdir(os.path.join(scratch, "semdedup_assigned"))
+    # name carries a per-call sequence suffix (concurrent runs sharing a
+    # scratch_dir must not overwrite each other's parquet mid-plan)
+    assert any(n.startswith("semdedup_assigned_") for n in os.listdir(scratch))

@@ -276,3 +276,26 @@ def test_doc_major_kernels_match_pair_udfs(spark):
     assert diffs["jac"] == 0.0
     assert diffs["len"] == 0.0
     assert diffs["tf"] < 1e-12
+
+
+def test_tf_cosine_zero_norm_guard(spark):
+    """An idf-zeroed doc (every token corpus-ubiquitous → idf 0 for all
+    its buckets) has a NON-empty tf_map with tf_norm = 0. The JVM kernel
+    must return 0.0 like the Python twin — without the guard, ANSI mode
+    aborts the job with DIVIDE_BY_ZERO (ADVICE r4)."""
+    import numpy as np
+
+    from dedupe_spark.functions.similarity import TF_DIM
+    from dedupe_spark.operators import scoring
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox jumps")],
+        "doc_id long, text string",
+    )
+    zero_idf = np.zeros(TF_DIM)
+    dfeat = scoring.doc_features(docs, idf=zero_idf, sc=spark.sparkContext)
+    rows = {r["doc_id"]: r for r in dfeat.collect()}
+    assert len(rows[1]["tf_map"]) > 0 and rows[1]["tf_norm"] == 0.0  # the trap
+    pairs = spark.createDataFrame([(1, 2)], "id1 long, id2 long")
+    got = scoring.pair_features_from_docs(pairs, dfeat).collect()[0]
+    assert got["tf_cosine"] == 0.0  # Python twin _weighted_cosine returns 0.0

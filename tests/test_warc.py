@@ -68,6 +68,32 @@ def test_parser_gzip_members_and_truncation():
     ]
 
 
+def test_corrupt_gzip_member_warns(caplog):
+    """Mid-stream gzip CORRUPTION (not truncation) stops the member walk
+    at the records already decoded — but loudly: a warning with the
+    shard offset must reach the log, so a silently-shortened shard is
+    diagnosable (ADVICE r4). Plain truncation stays quiet."""
+    import logging
+
+    r1 = _record("response", "http://a/", "2026-01-01T00:00:00Z", HTTP_PAYLOAD)
+    r2 = _record("response", "http://b/", "2026-01-01T00:00:01Z", HTTP_PAYLOAD)
+    g1, g2 = gzip.compress(r1, mtime=0), gzip.compress(r2, mtime=0)
+    # flip bytes inside g2's deflate stream (past the 10-byte header)
+    bad = bytearray(g1 + g2)
+    for off in range(len(g1) + 12, len(g1) + 18):
+        bad[off] ^= 0xFF
+    with caplog.at_level(logging.WARNING, logger="dedupe_spark.sources.warc"):
+        assert [u for u, _, _ in parse_warc_records(bytes(bad))] == ["http://a/"]
+    assert any("corrupt gzip member" in m for m in caplog.messages)
+    # truncation (clean cut, no bad bytes) must NOT warn
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="dedupe_spark.sources.warc"):
+        assert [u for u, _, _ in parse_warc_records((g1 + g2)[: len(g1) + 8])] == [
+            "http://a/"
+        ]
+    assert not any("corrupt gzip member" in m for m in caplog.messages)
+
+
 def test_round_trip_url_ts_html(spark, corpus, tmp_path):
     sample = corpus.limit(50).repartition(4)
     d = str(tmp_path / "warc")
