@@ -2350,14 +2350,21 @@ def q_er_pipeline_clusters(spark: SparkSession, sf: str) -> DataFrame:
     # checkpoint-to-scratch, not .persist() — no storage-cache leak
     keys = materialize(block_keys(reps), "er_pipeline_keys")
     pairs, _ = generate_pairs(keys, max_block_size=10_000)
-    # doc-major scoring (the pipeline default): per-doc prep once —
-    # materialized, since BOTH pair-side joins consume it — then
-    # JVM-side Jaccard/TF-cosine per pair; 20% faster than the
-    # per-pair text UDFs at 400k pages (measured best-of-3, interleaved)
-    dfeat = materialize(
-        scoring.doc_features(reps, sc=spark.sparkContext), "er_pipeline_dfeat"
-    )
-    feats = scoring.pair_features_from_docs(pairs, dfeat)
+    # Size-aware scoring path (mirrors PipelineConfig's auto default,
+    # gated here on the parquet footers — zero Spark jobs): doc-major
+    # (per-doc prep once, materialized since BOTH pair-side joins
+    # consume it, then JVM Jaccard/TF-cosine per pair) is 20% faster at
+    # 400k pages / 3.17M pairs but 29% SLOWER at 5k docs, where the
+    # prep UDF + wider two-sided attach is pure fixed overhead (r4
+    # driver-bench regression) — below the crossover use the per-pair
+    # text-UDF twin (identical clusters; parity pinned in tests).
+    if _parquet_rows(f"{sf}/documents.parquet") >= 10_000:
+        dfeat = materialize(
+            scoring.doc_features(reps, sc=spark.sparkContext), "er_pipeline_dfeat"
+        )
+        feats = scoring.pair_features_from_docs(pairs, dfeat)
+    else:
+        feats = scoring.pair_features(attach_texts(pairs, reps))
     match = scoring.matches(scoring.score_pairs(feats))
     edges = match.select(F.col("id1").alias("src"), F.col("id2").alias("dst")).unionByName(
         exact.where(F.col("doc_id") != F.col("rep_id")).select(

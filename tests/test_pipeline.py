@@ -311,18 +311,47 @@ def test_fast_mode_resume_runs_no_jobs_for_pairs(spark, corpus, tmp_path):
 
 
 def test_doc_major_scoring_identical_clusters(spark, corpus, pipe, tmp_path):
-    """The doc-major scoring path (default; per-doc prep + JVM pair
-    math) must produce IDENTICAL clusters to the per-pair text-UDF twin
-    — same features up to float summation order (tests/test_similarity
-    pins the kernels), so no score can move across the 0.5 threshold
-    on real data."""
-    _, out_default = pipe  # module fixture ran with doc_major_scoring=True
+    """The doc-major scoring path (per-doc prep + JVM pair math) must
+    produce IDENTICAL clusters to the per-pair text-UDF twin — same
+    features up to float summation order (tests/test_similarity pins
+    the kernels), so no score can move across the 0.5 threshold on
+    real data. The auto default (size-aware selection) must match both."""
+    _, out_auto = pipe  # module fixture ran with the auto default
+    out_doc = run_pipeline(
+        spark,
+        corpus,
+        str(tmp_path / "docpath"),
+        config=PipelineConfig(doc_major_scoring=True),
+    )
     out_text = run_pipeline(
         spark,
         corpus,
         str(tmp_path / "textpath"),
         config=PipelineConfig(doc_major_scoring=False),
     )
-    a = sorted(map(tuple, out_default["s7_clusters"].collect()))
+    a = sorted(map(tuple, out_doc["s7_clusters"].collect()))
     b = sorted(map(tuple, out_text["s7_clusters"].collect()))
+    c = sorted(map(tuple, out_auto["s7_clusters"].collect()))
+    assert a == b == c
+    assert out_doc["_doc_major"] is True and out_text["_doc_major"] is False
+
+
+def test_doc_major_auto_gate_by_rep_count(spark, corpus, tmp_path):
+    """doc_major_scoring=None (default) selects the path by
+    representative count: small corpus → per-pair (the prep UDF is pure
+    fixed overhead below the crossover), and a low threshold flips the
+    same corpus to doc-major."""
+    out_small = run_pipeline(
+        spark, corpus, str(tmp_path / "auto_small"), config=PipelineConfig()
+    )
+    assert out_small["_doc_major"] is False  # test corpus ≪ 10k reps
+    out_low = run_pipeline(
+        spark,
+        corpus,
+        str(tmp_path / "auto_low"),
+        config=PipelineConfig(doc_major_min_reps=1),
+    )
+    assert out_low["_doc_major"] is True
+    a = sorted(map(tuple, out_small["s7_clusters"].collect()))
+    b = sorted(map(tuple, out_low["s7_clusters"].collect()))
     assert a == b
