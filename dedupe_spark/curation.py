@@ -77,6 +77,13 @@ class CurationConfig:
     dedup_within_doc: bool = False
     # strip units present in >= this fraction of docs (None = off)
     boilerplate_doc_frac: float | None = None
+    # C3.5 semantic dedup (None = off): cosine threshold for SemDeDup
+    # paraphrase removal over the input's `embedding` column — catches
+    # templated rewrites whose token sets the lexical C3 can't see.
+    # 0.95 is the paper's conservative operating point.
+    semantic_eps: float | None = None
+    # quantizer cells for C3.5 (None = auto, ~10k vectors/cell)
+    semantic_cells: int | None = None
     # unit granularity for the C0 unit operators: split regex + re-join
     # literal. LINES are the production unit (repetition.py's contract —
     # C4/RefinedWeb dedup lines/spans, not words): at token granularity
@@ -98,10 +105,13 @@ def curate_corpus(
 
     Returns the stage DataFrames: ``hygiene`` (post optional C0
     cleanup), ``scored``, ``exact`` (post exact dedup), ``near_edges``,
-    ``deduped`` (post near dedup), ``gated``, ``shards`` (final docs
-    with ``shard_id``), and ``shard_report`` (per-shard doc/token
-    rollup). Deterministic at any parallelism —
-    ids, hashes, and tie-breaks are all content/key-driven.
+    ``deduped`` (post near dedup), optionally ``semantic_groups`` /
+    ``semantic`` (post C3.5 SemDeDup paraphrase removal — requires an
+    ``embedding`` column on the input and ``semantic_eps`` set),
+    ``gated``, ``shards`` (final docs with ``shard_id``), and
+    ``shard_report`` (per-shard doc/token rollup). Deterministic at any
+    parallelism — ids, hashes, and tie-breaks are all
+    content/key-driven.
 
     ``scratch_dir`` routes the materialized intermediates to shared
     storage — REQUIRED on a multi-node cluster (the default local
@@ -111,6 +121,9 @@ def curate_corpus(
     cfg = config or CurationConfig()
     out: dict[str, DataFrame] = {}
     seq = next(_SCRATCH_SEQ)
+    # original input, BEFORE the C0 text projections: C3.5 joins the
+    # `embedding` column back from here by doc_id
+    emb_src = docs
 
     # C0 — text hygiene (optional, projections only). Order matters:
     # boilerplate removal sees the raw corpus (its doc-frequency count
@@ -211,6 +224,37 @@ def curate_corpus(
         .drop("_rn", "cluster_id")
     )
     out["deduped"] = deduped
+
+    # C3.5 — semantic dedup (optional; SemDeDup shape): paraphrases and
+    # templated rewrites share an embedding neighborhood but not a token
+    # set, so they sail through C3's Jaccard refine. Runs on the C3
+    # SURVIVORS only (the lexical stages already shrank the corpus), with
+    # embeddings joined back from the ORIGINAL input — the hygiene
+    # projections deliberately carry text columns only.
+    if cfg.semantic_eps is not None:
+        from dedupe_spark.operators.semantic import semantic_dedup
+
+        if "embedding" not in emb_src.columns:
+            raise ValueError(
+                "CurationConfig.semantic_eps requires an `embedding` "
+                "column (array<float/double>) on the input docs"
+            )
+        vecs = deduped.select(F.col("doc_id").alias("vec_id")).join(
+            emb_src.select(F.col("doc_id").alias("vec_id"), "embedding"),
+            "vec_id",
+        )
+        groups = semantic_dedup(
+            vecs,
+            eps=cfg.semantic_eps,
+            n_cells=cfg.semantic_cells,
+            scratch_dir=scratch_dir,
+            hot_threshold=cfg.hot_threshold,
+            salt_buckets=cfg.salt_buckets,
+        )
+        out["semantic_groups"] = groups
+        keep = groups.where(F.col("kept")).select(F.col("vec_id").alias("doc_id"))
+        deduped = deduped.join(keep, "doc_id", "left_semi")
+        out["semantic"] = deduped
 
     # C4 — per-language quality gate (scale path: broadcast thresholds)
     gated = (

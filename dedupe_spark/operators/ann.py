@@ -123,6 +123,17 @@ def ivf_build(
     dv = vectors.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("v")
     )
+    if n_cells < 2:
+        # Degenerate quantizer (auto sizing picks 1 cell for corpora
+        # under the per-cell target): every vector in cell 0, centroid =
+        # element-wise mean — KMeans itself requires k >= 2. One
+        # aggregation, no ML fit.
+        dim = len(dv.select("v").first()["v"])
+        mean_row = dv.agg(
+            *[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)]
+        ).first()
+        centroid = [float(mean_row[f"c{i}"]) for i in range(dim)]
+        return dv.withColumn("cell", F.lit(0)), [centroid]
     ml_df = dv.withColumn("features", array_to_vector("v"))
     fit_df = ml_df
     if fit_fraction < 1.0:

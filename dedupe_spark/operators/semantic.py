@@ -52,11 +52,23 @@ from dedupe_spark.sources.checkpoints import materialize
 # other's parquet mid-plan. Same design as curation._SCRATCH_SEQ.
 _MAT_SEQ = itertools.count()
 
+# Auto cell sizing: ~10k vectors per cell is the SemDeDup/faiss
+# operating point — cells small enough that Σ|cell|² stays tractable,
+# few enough that the k×dim centroid table remains a driver-sized
+# broadcast literal.
+CELL_TARGET = 10_000
+MAX_CELLS = 65_536
+
+
+def auto_n_cells(n_vectors: int) -> int:
+    """n_cells ≈ ceil(n / 10k), clamped to [1, 65,536]."""
+    return max(1, min(MAX_CELLS, -(-n_vectors // CELL_TARGET)))
+
 
 def semantic_dedup(
     vectors: DataFrame,
     eps: float = 0.95,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
@@ -64,6 +76,7 @@ def semantic_dedup(
     salt_buckets: int = 16,
     fit_fraction: float = 1.0,
     scratch_dir: str | None = None,
+    max_pair_budget: float = 2e11,
 ) -> DataFrame:
     """(vec_id, group_id, centroid_cos, kept) — semantic-duplicate
     groups (transitive closure of within-cell cosine >= eps) with one
@@ -76,7 +89,20 @@ def semantic_dedup(
     shared storage — required on a multi-node cluster, where the
     default pid-keyed local tempdir is visible to one machine only
     (same contract as curation.curate_corpus / checkpoints.materialize).
+
+    ``n_cells=None`` (default) sizes the quantizer automatically at
+    ~10k vectors/cell (:func:`auto_n_cells`) — a fixed cell count is a
+    footgun at 10^12 vectors, where 16 cells would mean 10^22-pair
+    cells. ``max_pair_budget`` is the refusal guard behind it: after
+    the (linear) assignment pass, if Σ C(|cell|, 2) exceeds the budget
+    the call RAISES instead of planning quadratic work that can never
+    finish — same design as ``evaluate.pairwise_f1_scalable``'s
+    mixed-group refusal. The default budget (2×10^11 candidate pairs)
+    is a day-scale cosine workload for a big cluster; raise it
+    deliberately, or pass more cells / a finer quantizer.
     """
+    if n_cells is None:
+        n_cells = auto_n_cells(vectors.count())
     assigned, centroids = ivf_build(
         vectors,
         n_cells=n_cells,
@@ -91,6 +117,24 @@ def semantic_dedup(
     assigned = materialize(
         assigned, f"semdedup_assigned_{next(_MAT_SEQ)}", scratch_dir=scratch_dir
     )
+
+    # Quadratic-work refusal BEFORE any pair planning: one linear
+    # groupBy over the materialized assignment (ids only). Double
+    # arithmetic on purpose — cell counts at 10^12 vectors overflow
+    # bigint when squared, and a guard needs magnitude, not exactness.
+    budget = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    ).agg(
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("pairs")
+    ).collect()[0]["pairs"] or 0.0
+    if budget > max_pair_budget:
+        raise ValueError(
+            f"semantic_dedup cell layout implies ~{budget:.3g} candidate pairs "
+            f"(> max_pair_budget={max_pair_budget:.3g}): the quantizer is too "
+            f"coarse for this corpus — increase n_cells (auto target is "
+            f"~{CELL_TARGET} vectors/cell), use a finer fit, or raise the "
+            "budget deliberately"
+        )
 
     spark = vectors.sparkSession
     cent = F.broadcast(

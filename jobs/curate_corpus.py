@@ -5,7 +5,8 @@
       --keep-top 0.9 --shard-tokens 100000000
 
 Input schema: (doc_id long, text string, lang string) — extra columns
-are ignored. Output: parquet partitioned by shard_id (each partition
+are ignored, except `embedding array<float/double>`, read when
+--semantic-eps enables the C3.5 SemDeDup stage. Output: parquet partitioned by shard_id (each partition
 ≈ --shard-tokens tokens of deduped, quality-gated text) and one JSON
 stats line on stdout.
 """
@@ -35,6 +36,13 @@ def main(argv: list[str] | None = None) -> None:
                         "(unit per --hygiene-unit)")
     p.add_argument("--boilerplate-doc-frac", type=float, default=None,
                    help="strip units present in >= this fraction of docs")
+    p.add_argument("--semantic-eps", type=float, default=None,
+                   help="enable C3.5 semantic dedup (SemDeDup) at this "
+                        "cosine threshold; requires an `embedding` column "
+                        "on the input parquet")
+    p.add_argument("--semantic-cells", type=int, default=None,
+                   help="quantizer cells for --semantic-eps "
+                        "(default: auto, ~10k vectors/cell)")
     p.add_argument("--hygiene-unit", choices=("line", "token"), default="line",
                    help="unit granularity for --dedup-within-doc / "
                         "--boilerplate-doc-frac: 'line' (production — "
@@ -59,7 +67,10 @@ def main(argv: list[str] | None = None) -> None:
     from dedupe_spark.curation import CurationConfig, curate_corpus
 
     spark = SparkSession.builder.appName("dedupe_spark_curate").getOrCreate()
-    docs = spark.read.parquet(args.input).select("doc_id", "text", "lang")
+    cols = ["doc_id", "text", "lang"]
+    if args.semantic_eps is not None:
+        cols.append("embedding")  # C3.5 joins it back by doc_id
+    docs = spark.read.parquet(args.input).select(*cols)
     cfg = CurationConfig(
         keep_top=args.keep_top,
         shard_tokens=args.shard_tokens,
@@ -70,6 +81,8 @@ def main(argv: list[str] | None = None) -> None:
         boilerplate_doc_frac=args.boilerplate_doc_frac,
         hygiene_unit_sep="\n" if args.hygiene_unit == "line" else r"\s+",
         hygiene_join_sep="\n" if args.hygiene_unit == "line" else " ",
+        semantic_eps=args.semantic_eps,
+        semantic_cells=args.semantic_cells,
     )
     # intermediates must live on storage every executor can reach — the
     # output dir's filesystem qualifies by construction; a SIBLING path,

@@ -149,6 +149,55 @@ def test_hygiene_stage_cleans_before_dedup(spark):
         assert "copyright" not in t and "@" not in t.replace("<EMAIL>", "")
 
 
+def test_semantic_stage_catches_paraphrases(spark, tmp_path):
+    """C3.5 (SemDeDup over the embedding column) removes a PARAPHRASE —
+    zero token overlap, so C3's Jaccard refine can never see it — while
+    the same corpus without semantic_eps keeps both copies. The kept
+    representative and all other docs survive unchanged."""
+    import numpy as np
+
+    from dedupe_spark.curation import CurationConfig, curate_corpus
+
+    rng = np.random.RandomState(11)
+    base = rng.normal(size=8)
+    base /= np.linalg.norm(base)
+    near = base + rng.normal(scale=0.005, size=8)
+    far = rng.normal(size=8)
+    rows = [
+        # docs 0/1: lexically disjoint paraphrases, same meaning vector
+        (0, "the quick brown fox jumps over the lazy dog", "en",
+         [float(x) for x in base]),
+        (1, "a speedy umber vulpine leaps above an idle canine", "en",
+         [float(x) for x in near]),
+        # doc 2: unrelated
+        (2, "stock markets closed mixed on tuesday afternoon", "en",
+         [float(x) for x in far]),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, embedding array<double>"
+    )
+    base_out = curate_corpus(spark, docs, CurationConfig(shard_tokens=50))
+    assert {r["doc_id"] for r in base_out["deduped"].collect()} == {0, 1, 2}
+
+    cfg = CurationConfig(shard_tokens=50, semantic_eps=0.95, semantic_cells=1)
+    out = curate_corpus(spark, docs, cfg, scratch_dir=str(tmp_path / "sc"))
+    groups = {r["vec_id"]: r for r in out["semantic_groups"].collect()}
+    assert groups[0]["group_id"] == groups[1]["group_id"] != groups[2]["group_id"]
+    kept = {r["doc_id"] for r in out["semantic"].collect()}
+    assert len(kept & {0, 1}) == 1 and 2 in kept
+    assert {r["doc_id"] for r in out["shards"].collect()} == kept
+
+
+def test_semantic_stage_requires_embedding(spark):
+    from dedupe_spark.curation import CurationConfig, curate_corpus
+
+    docs = spark.createDataFrame(
+        [(0, "text only", "en")], "doc_id long, text string, lang string"
+    )
+    with pytest.raises(ValueError, match="embedding"):
+        curate_corpus(spark, docs, CurationConfig(semantic_eps=0.9))
+
+
 def test_hygiene_line_units_default(spark):
     """The DEFAULT hygiene unit is the line (ADVICE r4): a cookie-banner
     line shared across docs is stripped and a repeated line is deduped,

@@ -138,3 +138,47 @@ def test_scratch_dir_routes_materialized_cells(spark, planted, tmp_path):
     # name carries a per-call sequence suffix (concurrent runs sharing a
     # scratch_dir must not overwrite each other's parquet mid-plan)
     assert any(n.startswith("semdedup_assigned_") for n in os.listdir(scratch))
+
+
+def test_auto_n_cells_heuristic():
+    """n_cells=None sizes at ~10k vectors/cell (SemDeDup/faiss
+    practice), clamped to a driver-broadcastable centroid table."""
+    from dedupe_spark.operators.semantic import MAX_CELLS, auto_n_cells
+
+    assert auto_n_cells(1) == 1
+    assert auto_n_cells(10_000) == 1
+    assert auto_n_cells(10_001) == 2
+    assert auto_n_cells(1_000_000) == 100
+    assert auto_n_cells(10**12) == MAX_CELLS  # clamp: 10^8 would exceed
+
+
+def test_auto_cells_output_matches_explicit(spark, planted):
+    """The auto default must produce the same GROUPS as explicit cell
+    counts on the planted corpus (well-separated groups land intact in
+    any cell layout; CC closes them identically). The kept
+    representative is cell-layout-dependent BY DESIGN (most atypical
+    vs the cell centroid) — assert exactly one per group instead."""
+    vecs, _truth, out = planted  # explicit n_cells=4
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    key = lambda r: (r["vec_id"], r["group_id"])  # noqa: E731
+    for run in (
+        semantic_dedup(df, eps=EPS, seed=7).collect(),  # auto → 1 cell here
+        semantic_dedup(df, eps=EPS, n_cells=2, seed=7).collect(),
+    ):
+        assert sorted(map(key, run)) == sorted(map(key, out))
+        kept_per_group: dict[int, int] = {}
+        for r in run:
+            kept_per_group[r["group_id"]] = kept_per_group.get(r["group_id"], 0) + (
+                1 if r["kept"] else 0
+            )
+        assert all(v == 1 for v in kept_per_group.values())
+
+
+def test_pair_budget_refusal(spark, planted):
+    """A quantizer too coarse for the corpus must RAISE after the linear
+    assignment pass — before any quadratic pair planning (mirrors
+    pairwise_f1_scalable's refusal design)."""
+    vecs, _truth, _ = planted
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="candidate pairs"):
+        semantic_dedup(df, eps=EPS, n_cells=1, seed=7, max_pair_budget=10)
