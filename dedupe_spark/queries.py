@@ -1545,9 +1545,11 @@ def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     PII-free word soup, so both engines append the SAME deterministic
     PII-bearing suffix (derived only from doc_id) before scrubbing —
     the oracle then verifies the regex dialects agree byte-for-byte on
-    emails, NANP phones, SSNs and dotted quads. All JVM regexp_count /
-    regexp_replace inside one codegen'd projection — zero shuffles; at
-    100 TB this rides the extraction scan."""
+    emails, NANP + E.164 phones, SSNs, Luhn-validated credit cards
+    (the planted Luhn-FAILING 16-digit run must survive in both
+    engines), IBANs and dotted quads. All JVM regexp_count /
+    regexp_replace / Luhn-fold inside one codegen'd projection — zero
+    shuffles; at 100 TB this rides the extraction scan."""
     from dedupe_spark.functions.pii import pii_counts, scrub_pii
 
     docs = load_table(spark, sf, "documents")
@@ -1559,7 +1561,10 @@ def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
         F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
         F.lit(" ssn 123-45-6789 host 10."),
         (F.col("doc_id") % 256).cast("string"),
-        F.lit(".0.1 done"),
+        F.lit(
+            ".0.1 card 4111 1111 1111 1111 bad 4111 1111 1111 1112"
+            " iban DE89370400440532013000 tel +447911123456 done"
+        ),
     )
     return docs.select(
         "doc_id",
@@ -1570,26 +1575,55 @@ def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
 
 def _sql_pii_scrub() -> str:
     """Oracle built from the SAME pattern strings as the Spark query
-    (functions/pii.py PII_PATTERNS) — single source of truth, so a
-    pattern edit can never silently diverge the two engines."""
-    from dedupe_spark.functions.pii import PII_PATTERNS
+    (functions/pii.py PII_PATTERNS + CC_PATTERN) — single source of
+    truth, so a pattern edit can never silently diverge the two
+    engines. The Luhn checksum is restated in DuckDB list functions
+    (list_transform over the reversed digit string); the fold-replace
+    of validated candidates uses list_reduce seeded via list_prepend."""
+    from dedupe_spark.functions.pii import CC_PATTERN, CC_REPLACEMENT, PII_PATTERNS
 
-    counts = ",\n       ".join(
-        f"len(regexp_extract_all(aug, '{pat}')) AS n_{name}" for name, pat, _ in PII_PATTERNS
-    )
+    def luhn_sql(expr: str) -> str:
+        d = f"regexp_replace({expr}, '[^0-9]', '', 'g')"
+        digit = f"CAST(reverse({d})[i] AS INT)"
+        return (
+            f"(len({d}) >= 13 AND list_sum(list_transform(range(1, len({d}) + 1), "
+            f"i -> CASE WHEN i % 2 = 0 THEN CASE WHEN 2*{digit} > 9 "
+            f"THEN 2*{digit} - 9 ELSE 2*{digit} END ELSE {digit} END)) % 10 = 0)"
+        )
+
+    def cc_valid(expr: str) -> str:
+        return (
+            f"list_filter(regexp_extract_all({expr}, '{CC_PATTERN}'), "
+            f"c -> {luhn_sql('c')})"
+        )
+
+    counts = [
+        f"len(regexp_extract_all(aug, '{pat}')) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    ]
+    counts.insert(1, f"len({cc_valid('aug')}) AS n_cc")
     scrub = "aug"
-    for _name, pat, repl in PII_PATTERNS:
+    for name, pat, repl in PII_PATTERNS:
         scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
+        if name == "email":
+            # fold the Luhn-valid candidates into the string
+            scrub = (
+                f"list_reduce(list_prepend({scrub}, {cc_valid(scrub)}), "
+                f"(acc, x) -> replace(acc, x, '{CC_REPLACEMENT}'))"
+            )
+    counts_sql = ",\n       ".join(counts)
     return f"""
 WITH a AS (
   SELECT doc_id,
          text || ' reach user' || doc_id || '@example.com or 555-867-'
               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-              || ' ssn 123-45-6789 host 10.' || (doc_id % 256) || '.0.1 done' AS aug
+              || ' ssn 123-45-6789 host 10.' || (doc_id % 256)
+              || '.0.1 card 4111 1111 1111 1111 bad 4111 1111 1111 1112'
+              || ' iban DE89370400440532013000 tel +447911123456 done' AS aug
   FROM documents
 )
 SELECT doc_id,
-       {counts},
+       {counts_sql},
        md5({scrub}) AS scrubbed_md5
 FROM a
 """

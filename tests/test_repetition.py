@@ -26,7 +26,8 @@ def _scrub_one(spark, text: str) -> tuple[str, dict[str, int]]:
         .select(scrub_pii(F.col("s")).alias("out"), *pii_counts(F.col("s")))
         .first()
     )
-    return row["out"], {name: row[f"n_{name}"] for name, _, _ in PII_PATTERNS}
+    names = [name for name, _, _ in PII_PATTERNS] + ["cc"]
+    return row["out"], {name: row[f"n_{name}"] for name in names}
 
 
 class TestPiiScrub:
@@ -70,6 +71,41 @@ class TestPiiScrub:
         s = "no personal data here just words"
         out, n = _scrub_one(spark, s)
         assert out == s and not any(n.values())
+
+    def test_credit_card_luhn_valid_scrubbed(self, spark):
+        # standard test PANs: Visa 16 (spaced / dashed / solid), Amex 15
+        out, n = _scrub_one(
+            spark,
+            "v 4111 1111 1111 1111 d 4111-1111-1111-1111 "
+            "s 4111111111111111 a 378282246310005",
+        )
+        assert out == "v <CC> d <CC> s <CC> a <CC>"
+        assert n["cc"] == 4
+
+    def test_credit_card_luhn_failing_not_scrubbed(self, spark):
+        # 16-digit runs that FAIL Luhn must survive verbatim — ids,
+        # timestamps and hashes are full of digit runs; the checksum is
+        # the precision guard (VERDICT r4 #4)
+        s = "order 4111 1111 1111 1112 ref 1234567890123456 t 9999 9999 9999 9999"
+        out, n = _scrub_one(spark, s)
+        assert out == s
+        assert n["cc"] == 0
+
+    def test_e164_international_phone(self, spark):
+        out, n = _scrub_one(spark, "call +447911123456 or +14155552671 now")
+        assert out == "call <PHONE> or <PHONE> now"
+        assert n["e164"] == 2 and n["phone"] == 0
+        # bare '+' or too-short tails stay (E.164 minimum significant digits)
+        out2, n2 = _scrub_one(spark, "sum +4 and +123456 stay")
+        assert out2 == "sum +4 and +123456 stay" and n2["e164"] == 0
+
+    def test_iban_scrubbed(self, spark):
+        out, n = _scrub_one(spark, "pay DE89370400440532013000 or GB29NWBK60161331926819")
+        assert out == "pay <IBAN> or <IBAN>"
+        assert n["iban"] == 2
+        # lowercase or embedded-in-word forms stay (word boundary + case)
+        out2, n2 = _scrub_one(spark, "xDE89370400440532013000 de89370400440532013000")
+        assert n2["iban"] == 0 and out2 == "xDE89370400440532013000 de89370400440532013000"
 
 
 class TestDedupUnits:
