@@ -35,18 +35,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def generate_pairs(
+def pairs_per_block(
     keys: DataFrame,
     hot_threshold: int = 1000,
     salt_buckets: int = 16,
     max_block_size: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """keys(doc_id, block_key) → (pairs(id1, id2), capped_blocks).
+    """keys(doc_id, block_key) → (per_block(block_key, id1, id2), capped).
 
-    pairs are distinct canonical (id1 < id2) candidate pairs from all
-    blocks with 2..max_block_size members; blocks larger than
-    max_block_size (if set) are excluded and reported in capped_blocks
-    (block_key, copies).
+    Emits each canonical (id1 < id2) pair EXACTLY ONCE PER SHARED BLOCK
+    (no cross-block dedup) — the multiplicity is meaningful: it is the
+    common-blocks weight meta-blocking counts. ``generate_pairs`` is
+    this plus drop-block-key + distinct.
     """
     sizes = keys.groupBy("block_key").agg(F.count(F.lit(1)).alias("copies"))
     live = sizes.where(F.col("copies") >= 2)
@@ -70,7 +70,7 @@ def generate_pairs(
     cold_pairs = (
         a.join(b, "block_key")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .select("block_key", F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
     )
 
     # --- hot path: upper-triangular grid decomposition ----------------
@@ -103,13 +103,37 @@ def generate_pairs(
         left.join(right, ["block_key", "cell"])
         .where((F.col("bkt_l") != F.col("bkt_r")) | (F.col("id_l") < F.col("id_r")))
         .select(
+            "block_key",
             F.least("id_l", "id_r").alias("id1"),
             F.greatest("id_l", "id_r").alias("id2"),
         )
     )
 
-    pairs = cold_pairs.unionByName(hot_pairs).distinct()
-    return pairs, capped.select("block_key", "copies")
+    per_block = cold_pairs.unionByName(hot_pairs)
+    return per_block, capped.select("block_key", "copies")
+
+
+def generate_pairs(
+    keys: DataFrame,
+    hot_threshold: int = 1000,
+    salt_buckets: int = 16,
+    max_block_size: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """keys(doc_id, block_key) → (pairs(id1, id2), capped_blocks).
+
+    pairs are distinct canonical (id1 < id2) candidate pairs from all
+    blocks with 2..max_block_size members; blocks larger than
+    max_block_size (if set) are excluded and reported in capped_blocks
+    (block_key, copies).
+    """
+    per_block, capped = pairs_per_block(
+        keys,
+        hot_threshold=hot_threshold,
+        salt_buckets=salt_buckets,
+        max_block_size=max_block_size,
+    )
+    pairs = per_block.select("id1", "id2").distinct()
+    return pairs, capped
 
 
 def attach_texts(pairs: DataFrame, docs: DataFrame) -> DataFrame:

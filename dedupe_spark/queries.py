@@ -2410,6 +2410,78 @@ def q_er_pipeline_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.3 addenda (r5): meta-blocking over redundant key families
+# ---------------------------------------------------------------------------
+
+def q_meta_blocking_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Meta-blocking (Papadakis et al., TKDE 2014): three key families
+    (length bucket, md5 prefix, source) → blocking graph with CBS +
+    Jaccard edge weights → block purge at 64 + weighted-edge pruning at
+    the global mean CBS. Only SQL-expressible key families here so the
+    oracle can rebuild the identical graph; the production path feeds
+    ``blocking.block_keys``' LSH/SimHash families into the same
+    operator (operators/metablocking.py)."""
+    from dedupe_spark.operators.metablocking import blocking_graph, prune_wep
+
+    docs = load_table(spark, sf, "documents")
+    keys = (
+        docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("len:"), F.floor(F.col("n_chars") / 8).cast("string")
+            ).alias("block_key"),
+        )
+        .unionByName(
+            docs.select(
+                "doc_id",
+                F.concat(
+                    F.lit("md5p:"), content_hash(F.col("text")).substr(1, 2)
+                ).alias("block_key"),
+            )
+        )
+        .unionByName(
+            docs.select(
+                "doc_id", F.concat(F.lit("src:"), F.col("source")).alias("block_key")
+            )
+        )
+    )
+    g = blocking_graph(keys, weight="js", max_block_size=64)
+    # WEP thresholds on the INTEGER cbs weight: avg of exact ints is
+    # bit-identical across engines; a mean over double js weights is
+    # summation-order sensitive and could flip boundary edges.
+    kept = prune_wep(g, weight_col="cbs")
+    return kept.select("id1", "id2", "cbs", F.round("weight", 6).alias("js"))
+
+
+SQL_META_BLOCKING_PAIRS = """
+WITH keys AS (
+  SELECT doc_id, 'len:' || CAST(n_chars // 8 AS VARCHAR) AS block_key FROM documents
+  UNION ALL
+  SELECT doc_id, 'md5p:' || substr(md5(text), 1, 2) FROM documents
+  UNION ALL
+  SELECT doc_id, 'src:' || source FROM documents
+),
+live AS (
+  SELECT block_key FROM keys GROUP BY block_key
+  HAVING count(*) BETWEEN 2 AND 64
+),
+lk AS (SELECT k.doc_id, k.block_key FROM keys k JOIN live USING (block_key)),
+deg AS (SELECT doc_id, count(*) AS nb FROM lk GROUP BY doc_id),
+edges AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS cbs
+  FROM lk a JOIN lk b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT e.id1, e.id2, e.cbs,
+       round(CAST(e.cbs AS DOUBLE) / (d1.nb + d2.nb - e.cbs), 6) AS js
+FROM edges e
+JOIN deg d1 ON e.id1 = d1.doc_id
+JOIN deg d2 ON e.id2 = d2.doc_id
+WHERE e.cbs >= (SELECT avg(cbs) FROM edges)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2500,6 +2572,10 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_length_profile": q_corpus_length_profile,
     "token_shard_packing": q_token_shard_packing,
     "lexical_diversity": q_lexical_diversity,
+    # --- r5 additions (past the driver's 50-query sweep cap by design:
+    # every slot ahead holds a query with fewer driver-record rounds;
+    # scripts/check_oracles.py verifies these each round) ---
+    "meta_blocking_pairs": q_meta_blocking_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -2572,6 +2648,8 @@ ORACLES: dict[str, str] = {
     "corpus_length_profile": SQL_CORPUS_LENGTH_PROFILE,
     "token_shard_packing": SQL_TOKEN_SHARD_PACKING,
     "lexical_diversity": SQL_LEXICAL_DIVERSITY,
+    # --- r5 additions ---
+    "meta_blocking_pairs": SQL_META_BLOCKING_PAIRS,
     # Rows-only (no ANSI-SQL oracle, Python oracles in pytest instead):
     # minhash_lsh_pairs / simhash_pairs (sketches — test_hashing.py),
     # ann_lsh_topk / ann_ivf_topk / embedding_near_dup_lsh (approximate
