@@ -2481,6 +2481,29 @@ WHERE e.cbs >= (SELECT avg(cbs) FROM edges)
 """
 
 
+def q_sorted_neighborhood_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995): sort by
+    (n_chars, doc_id), pair each doc with its 3 successors. The rank is
+    the two-phase distributed row_number (operators/snm.py) — the
+    oracle's single-window formulation is exactly what it must equal."""
+    from dedupe_spark.operators.snm import sorted_neighborhood_pairs
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "n_chars")
+    return sorted_neighborhood_pairs(
+        docs, key_col="n_chars", id_col="doc_id", window=4
+    )
+
+
+SQL_SORTED_NEIGHBORHOOD_PAIRS = """
+WITH r AS (
+  SELECT doc_id, row_number() OVER (ORDER BY n_chars, doc_id) AS rnk
+  FROM documents
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(b.rnk - a.rnk AS BIGINT) AS gap
+FROM r a JOIN r b ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2576,6 +2599,7 @@ QUERIES: dict[str, QueryFn] = {
     # every slot ahead holds a query with fewer driver-record rounds;
     # scripts/check_oracles.py verifies these each round) ---
     "meta_blocking_pairs": q_meta_blocking_pairs,
+    "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -2650,6 +2674,7 @@ ORACLES: dict[str, str] = {
     "lexical_diversity": SQL_LEXICAL_DIVERSITY,
     # --- r5 additions ---
     "meta_blocking_pairs": SQL_META_BLOCKING_PAIRS,
+    "sorted_neighborhood_pairs": SQL_SORTED_NEIGHBORHOOD_PAIRS,
     # Rows-only (no ANSI-SQL oracle, Python oracles in pytest instead):
     # minhash_lsh_pairs / simhash_pairs (sketches — test_hashing.py),
     # ann_lsh_topk / ann_ivf_topk / embedding_near_dup_lsh (approximate
