@@ -2504,6 +2504,82 @@ FROM r a JOIN r b ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + 3
 """
 
 
+def _fs_query_features():
+    """Single source of truth for the fellegi_sunter_scores m/u table —
+    the Spark expressions AND the DuckDB oracle are both generated from
+    these (the pii.py design: dialects cannot drift)."""
+    from dedupe_spark.operators.fs import FSFeature
+
+    return [
+        FSFeature("lang", m=0.95, u=0.30),
+        FSFeature("source", m=0.90, u=0.20),
+        FSFeature("lenb", m=0.85, u=0.02),
+        FSFeature("content", m=0.60, u=0.000001),
+    ], 0.01
+
+
+def q_fellegi_sunter_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Fellegi–Sunter (JASA 1969) probabilistic linkage: md5-prefix
+    blocked pairs, four cheap agreement comparisons (lang, source,
+    length bucket, exact content), log2(m/u) match weights + posterior
+    match probability — the whole scoring pass is one codegen'd JVM
+    projection of literal weights (operators/fs.py)."""
+    from dedupe_spark.operators.fs import fs_score
+
+    features, prior = _fs_query_features()
+    docs = (
+        load_table(spark, sf, "documents")
+        .withColumn("_md5", content_hash(F.col("text")))
+        .select("doc_id", "lang", "source", "n_chars", "_md5")
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    pairs = (
+        a.join(b, F.expr("substr(a._md5, 1, 1) = substr(b._md5, 1, 1)"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            (F.col("a.lang") == F.col("b.lang")).alias("agree_lang"),
+            (F.col("a.source") == F.col("b.source")).alias("agree_source"),
+            (
+                F.floor(F.col("a.n_chars") / 16) == F.floor(F.col("b.n_chars") / 16)
+            ).alias("agree_lenb"),
+            (F.col("a._md5") == F.col("b._md5")).alias("agree_content"),
+        )
+    )
+    return fs_score(pairs, features, prior).select(
+        "id1",
+        "id2",
+        F.round("match_weight", 6).alias("match_weight"),
+        F.round("match_prob", 6).alias("match_prob"),
+    )
+
+
+def _sql_fellegi_sunter() -> str:
+    from dedupe_spark.operators.fs import match_prob_sql, match_weight_sql
+
+    features, prior = _fs_query_features()
+    agree_sql = {
+        "lang": "(a.lang = b.lang)",
+        "source": "(a.source = b.source)",
+        "lenb": "((a.n_chars // 16) = (b.n_chars // 16))",
+        "content": "(md5(a.text) = md5(b.text))",
+    }
+    w = match_weight_sql(features, agree_sql)
+    p = match_prob_sql(features, agree_sql, prior)
+    return f"""
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       round({w}, 6) AS match_weight,
+       round({p}, 6) AS match_prob
+FROM documents a JOIN documents b
+  ON substr(md5(a.text), 1, 1) = substr(md5(b.text), 1, 1)
+ AND a.doc_id < b.doc_id
+"""
+
+
+SQL_FELLEGI_SUNTER_SCORES = _sql_fellegi_sunter()
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2600,6 +2676,7 @@ QUERIES: dict[str, QueryFn] = {
     # scripts/check_oracles.py verifies these each round) ---
     "meta_blocking_pairs": q_meta_blocking_pairs,
     "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
+    "fellegi_sunter_scores": q_fellegi_sunter_scores,
 }
 
 ORACLES: dict[str, str] = {
@@ -2675,6 +2752,7 @@ ORACLES: dict[str, str] = {
     # --- r5 additions ---
     "meta_blocking_pairs": SQL_META_BLOCKING_PAIRS,
     "sorted_neighborhood_pairs": SQL_SORTED_NEIGHBORHOOD_PAIRS,
+    "fellegi_sunter_scores": SQL_FELLEGI_SUNTER_SCORES,
     # Rows-only (no ANSI-SQL oracle, Python oracles in pytest instead):
     # minhash_lsh_pairs / simhash_pairs (sketches — test_hashing.py),
     # ann_lsh_topk / ann_ivf_topk / embedding_near_dup_lsh (approximate
