@@ -106,19 +106,18 @@ def blocking_graph(
 def prune_wep(edges: DataFrame, weight_col: str = "weight") -> DataFrame:
     """Weighted Edge Pruning: keep edges with weight >= the global mean.
 
-    The mean is a single-row aggregate; joining it back on a constant
-    key broadcasts one row — the edge table is never collected and
-    never globally sorted.
+    The mean is a driver-side SCALAR (one O(1)-row aggregate — the
+    bigram_surprisal/cc-fingerprint cost class, not a data collect)
+    applied as a literal filter: a 1-row join would compile to a
+    BroadcastNestedLoopJoin, which the plan audit bans. The edge plan
+    is evaluated twice (once for the mean, once filtered) — callers
+    composing this after an expensive graph build should materialize
+    the edges first.
     """
-    mean = edges.agg(F.avg(weight_col).alias("_wep_mean")).withColumn(
-        "_wep_one", F.lit(1)
-    )
-    return (
-        edges.withColumn("_wep_one", F.lit(1))
-        .join(F.broadcast(mean), "_wep_one")
-        .where(F.col(weight_col) >= F.col("_wep_mean"))
-        .drop("_wep_one", "_wep_mean")
-    )
+    row = edges.agg(F.avg(weight_col).alias("m")).first()
+    if row is None or row["m"] is None:
+        return edges.where(F.lit(False))
+    return edges.where(F.col(weight_col) >= F.lit(float(row["m"])))
 
 
 def prune_cnp(edges: DataFrame, k: int, weight_col: str = "weight") -> DataFrame:
