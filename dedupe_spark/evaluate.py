@@ -130,6 +130,56 @@ def cluster_exactness(clusters: DataFrame, truth: DataFrame) -> dict[str, int]:
     }
 
 
+def blocking_quality(pairs: DataFrame, truth: DataFrame) -> dict[str, float | int]:
+    """The standard blocking-scheme metrics (Christen, "Data Matching",
+    2012 §7.4): given candidate pairs(id1, id2) and planted
+    truth(doc_id, truth_key),
+
+      * pair completeness PC = found true pairs / all true pairs
+        (blocking recall — what the downstream matcher can still find);
+      * reduction ratio  RR = 1 - |candidates| / C(n, 2)
+        (how much of the quadratic comparison space was pruned);
+      * pairs quality    PQ = found true pairs / |candidates|
+        (blocking precision — candidate-budget efficiency).
+
+    Everything reduces to three O(1)-row aggregates (the pairwise_f1
+    cost class): total true pairs is a per-truth-key C(size, 2) sum —
+    never materialized pairwise — and candidates are flagged with two
+    equi-joins on doc_id. NULL truth keys count as unlabeled and can
+    never be a true pair. Vacuous denominators resolve to 1.0 (an
+    empty candidate set over an all-singleton corpus is complete)."""
+    t = truth.where(F.col("truth_key").isNotNull())
+    tot = (
+        t.groupBy("truth_key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.sum(F.expr("cnt * (cnt - 1) div 2")).alias("true_pairs"),
+            F.sum("cnt").alias("n"),
+        )
+        .first()
+    )
+    n = int(tot["n"] or 0)
+    true_pairs = int(tot["true_pairs"] or 0)
+    t1 = t.select(F.col("doc_id").alias("id1"), F.col("truth_key").alias("tk1"))
+    t2 = t.select(F.col("doc_id").alias("id2"), F.col("truth_key").alias("tk2"))
+    cand = pairs.select("id1", "id2").join(t1, "id1", "left").join(t2, "id2", "left")
+    agg = cand.agg(
+        F.count(F.lit(1)).alias("n_cand"),
+        F.sum(F.when(F.col("tk1") == F.col("tk2"), 1).otherwise(0)).alias("tp"),
+    ).first()
+    n_cand, tp = int(agg["n_cand"]), int(agg["tp"] or 0)
+    all_pairs = n * (n - 1) // 2
+    return {
+        "n_records": n,
+        "n_true_pairs": true_pairs,
+        "n_candidates": n_cand,
+        "n_true_candidates": tp,
+        "pair_completeness": tp / true_pairs if true_pairs else 1.0,
+        "reduction_ratio": 1.0 - n_cand / all_pairs if all_pairs else 1.0,
+        "pairs_quality": tp / n_cand if n_cand else 1.0,
+    }
+
+
 def pairwise_f1_scalable(
     exact: DataFrame,
     rep_keys: DataFrame,

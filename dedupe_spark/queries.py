@@ -2580,6 +2580,82 @@ FROM documents a JOIN documents b
 SQL_FELLEGI_SUNTER_SCORES = _sql_fellegi_sunter()
 
 
+def q_blocking_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocking-scheme evaluation (Christen 2012 §7.4): candidates from
+    the reference's own n_chars blocking key, truth = token-set
+    fingerprint (the dedup_by_fingerprint grouping — the testdata's
+    only non-trivial planted duplicate structure; exact md5 is
+    all-unique at sf0.01) — one row of PC / RR / PQ. The metrics are
+    O(1)-row driver scalars (evaluate.blocking_quality); rounding
+    happens in Spark so both engines round HALF_UP."""
+    from dedupe_spark.evaluate import blocking_quality
+
+    docs = load_table(spark, sf, "documents")
+    a, b = docs.alias("a"), docs.alias("b")
+    cand = (
+        a.join(b, F.expr("a.n_chars = b.n_chars"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+    )
+    truth = docs.select("doc_id", fingerprint(F.col("text")).alias("truth_key"))
+    m = blocking_quality(cand, truth)
+    row = spark.createDataFrame(
+        [
+            (
+                m["n_candidates"],
+                m["n_true_pairs"],
+                m["n_true_candidates"],
+                m["pair_completeness"],
+                m["reduction_ratio"],
+                m["pairs_quality"],
+            )
+        ],
+        "n_candidates long, n_true_pairs long, n_true_candidates long, "
+        "pair_completeness double, reduction_ratio double, pairs_quality double",
+    )
+    return row.select(
+        "n_candidates",
+        "n_true_pairs",
+        "n_true_candidates",
+        F.round("pair_completeness", 6).alias("pair_completeness"),
+        F.round("reduction_ratio", 6).alias("reduction_ratio"),
+        F.round("pairs_quality", 6).alias("pairs_quality"),
+    )
+
+
+SQL_BLOCKING_QUALITY = """
+WITH truth AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), x -> lower(x)))), ' ')) AS tk
+  FROM documents
+),
+cand AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2
+  FROM documents a JOIN documents b
+    ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+),
+tc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_cand,
+         CAST(sum(CASE WHEN t1.tk = t2.tk THEN 1 ELSE 0 END) AS BIGINT) AS tp
+  FROM cand c
+  JOIN truth t1 ON c.id1 = t1.doc_id
+  JOIN truth t2 ON c.id2 = t2.doc_id
+),
+tot AS (
+  SELECT CAST(sum(cnt * (cnt - 1) // 2) AS BIGINT) AS true_pairs,
+         CAST(sum(cnt) AS BIGINT) AS n
+  FROM (SELECT count(*) AS cnt FROM truth GROUP BY tk)
+)
+SELECT tc.n_cand AS n_candidates,
+       tot.true_pairs AS n_true_pairs,
+       tc.tp AS n_true_candidates,
+       round(CAST(tc.tp AS DOUBLE) / tot.true_pairs, 6) AS pair_completeness,
+       round(1.0 - CAST(tc.n_cand AS DOUBLE) / (CAST(tot.n AS DOUBLE) * (tot.n - 1) / 2), 6) AS reduction_ratio,
+       round(CAST(tc.tp AS DOUBLE) / tc.n_cand, 6) AS pairs_quality
+FROM tc, tot
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2677,6 +2753,7 @@ QUERIES: dict[str, QueryFn] = {
     "meta_blocking_pairs": q_meta_blocking_pairs,
     "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
     "fellegi_sunter_scores": q_fellegi_sunter_scores,
+    "blocking_quality": q_blocking_quality,
 }
 
 ORACLES: dict[str, str] = {
@@ -2753,6 +2830,7 @@ ORACLES: dict[str, str] = {
     "meta_blocking_pairs": SQL_META_BLOCKING_PAIRS,
     "sorted_neighborhood_pairs": SQL_SORTED_NEIGHBORHOOD_PAIRS,
     "fellegi_sunter_scores": SQL_FELLEGI_SUNTER_SCORES,
+    "blocking_quality": SQL_BLOCKING_QUALITY,
     # Rows-only (no ANSI-SQL oracle, Python oracles in pytest instead):
     # minhash_lsh_pairs / simhash_pairs (sketches — test_hashing.py),
     # ann_lsh_topk / ann_ivf_topk / embedding_near_dup_lsh (approximate
