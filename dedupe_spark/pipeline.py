@@ -105,6 +105,17 @@ class PipelineConfig:
     # default: the synthetic corpus has one fetch per url, and real
     # crawls opt in.
     crawl_url_dedup: bool = False
+    # meta-blocking CNP prune (operators/metablocking.py): when set,
+    # s4 keeps a pair only if it ranks in the top-k CBS-weighted edges
+    # of at least one endpoint. Duplicate pairs co-occur in MANY band
+    # blocks (high CBS) while coincidental co-blockers share one or
+    # two, so a small k removes the weakly-vouched tail of the
+    # candidate set BEFORE the expensive feature stage — the knob to
+    # reach for when a 100-TB corpus's pairs-scored budget, not
+    # recall, is the binding constraint. Off by default (the planted
+    # corpus needs every candidate scored for the F1=1.0 gate; k=2
+    # preserves it there — see test_pipeline).
+    meta_blocking_cnp_k: int | None = None
     # fast_mode: materialize ONLY the expensive, resume-critical stages
     # (s5_scored — "never recompute scored pairs", north_rule — plus
     # s7_clusters and the tiny s8_report). s1-s4 are cheap recomputes
@@ -214,12 +225,27 @@ def run_pipeline(
         return out
 
     def build_pairs() -> DataFrame:
-        p, capped = generate_pairs(
-            keys,
-            hot_threshold=cfg.hot_threshold,
-            salt_buckets=cfg.salt_buckets,
-            max_block_size=cfg.max_block_size,
-        )
+        if cfg.meta_blocking_cnp_k is not None:
+            from dedupe_spark.operators.metablocking import prune_cnp
+            from dedupe_spark.operators.pairs import pairs_per_block
+
+            per_block, capped = pairs_per_block(
+                keys,
+                hot_threshold=cfg.hot_threshold,
+                salt_buckets=cfg.salt_buckets,
+                max_block_size=cfg.max_block_size,
+            )
+            cbs = per_block.groupBy("id1", "id2").agg(
+                F.count(F.lit(1)).alias("weight")
+            )
+            p = prune_cnp(cbs, cfg.meta_blocking_cnp_k).select("id1", "id2")
+        else:
+            p, capped = generate_pairs(
+                keys,
+                hot_threshold=cfg.hot_threshold,
+                salt_buckets=cfg.salt_buckets,
+                max_block_size=cfg.max_block_size,
+            )
         # The capped-block audit is an eager job over the s1→s3 lineage;
         # on a fast_mode RESUME whose scored pairs are already committed
         # the pairs are never consumed, so running it would recompute

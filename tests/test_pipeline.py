@@ -355,3 +355,25 @@ def test_doc_major_auto_gate_by_rep_count(spark, corpus, tmp_path):
     a = sorted(map(tuple, out_small["s7_clusters"].collect()))
     b = sorted(map(tuple, out_low["s7_clusters"].collect()))
     assert a == b
+
+
+def test_meta_blocking_cnp_preserves_f1(spark, corpus, pipe, tmp_path):
+    """CNP prune (meta_blocking_cnp_k=2) may only drop weakly-vouched
+    candidates: the pair budget shrinks (or holds) and F1 stays 1.0 —
+    duplicate pairs co-occur in many band blocks, so they always rank
+    inside each other's top-k."""
+    _, base_out = pipe
+    n_base = base_out["s4_pairs"].count()
+    out = run_pipeline(
+        spark,
+        corpus,
+        str(tmp_path / "cnp"),
+        config=PipelineConfig(meta_blocking_cnp_k=2),
+    )
+    n_cnp = out["s4_pairs"].count()
+    assert n_cnp <= n_base
+    truth = corpus.select(F.xxhash64("url").alias("doc_id"), "truth_key")
+    doc_keys = evaluate.doc_level_keys(out["s2_exact"], out["s3_keys"])
+    labeled = evaluate.labeled_same_block_pairs(doc_keys, truth)
+    metrics = evaluate.pairwise_f1(labeled, out["s7_clusters"])
+    assert metrics["f1"] == 1.0, metrics
