@@ -2656,6 +2656,74 @@ FROM tc, tot
 """
 
 
+def q_golden_records(spark: SparkSession, sf: str) -> DataFrame:
+    """Survivorship (MDM golden record): fingerprint clusters →
+    longest-text survivor (doc_id tiebreak), most-frequent lang/source
+    (ties → smaller value, NULLs ignored), max length, member count —
+    one cluster-partitioned window + bounded mode groupBys
+    (operators/survivorship.py)."""
+    from dedupe_spark.operators.survivorship import golden_records
+
+    docs = (
+        load_table(spark, sf, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .withColumn("fp", fingerprint(F.col("text")))
+    )
+    g = golden_records(
+        docs,
+        "fp",
+        order_by=[F.desc(F.length("text")), F.asc("doc_id")],
+        mode_cols=["lang", "source"],
+        agg_exprs={"max_n_chars": F.max("n_chars")},
+    )
+    return g.select(
+        "fp",
+        F.col("doc_id").alias("golden_doc_id"),
+        "n_members",
+        "lang_mode",
+        "source_mode",
+        "max_n_chars",
+    )
+
+
+SQL_GOLDEN_RECORDS = f"""
+WITH d AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         md5(array_to_string(list_sort(list_distinct(list_transform({_DUCK_TOKS}, x -> lower(x)))), ' ')) AS fp
+  FROM documents
+),
+surv AS (
+  SELECT fp, doc_id AS golden_doc_id,
+         row_number() OVER (PARTITION BY fp ORDER BY length(text) DESC, doc_id ASC) AS rn
+  FROM d
+),
+ag AS (
+  SELECT fp, CAST(count(*) AS BIGINT) AS n_members, max(n_chars) AS max_n_chars
+  FROM d GROUP BY fp
+),
+lm AS (
+  SELECT fp, lang AS lang_mode FROM (
+    SELECT fp, lang,
+           row_number() OVER (PARTITION BY fp ORDER BY count(*) DESC, lang ASC) AS rn
+    FROM d WHERE lang IS NOT NULL GROUP BY fp, lang
+  ) WHERE rn = 1
+),
+sm AS (
+  SELECT fp, source AS source_mode FROM (
+    SELECT fp, source,
+           row_number() OVER (PARTITION BY fp ORDER BY count(*) DESC, source ASC) AS rn
+    FROM d WHERE source IS NOT NULL GROUP BY fp, source
+  ) WHERE rn = 1
+)
+SELECT s.fp, s.golden_doc_id, ag.n_members, lm.lang_mode, sm.source_mode, ag.max_n_chars
+FROM surv s
+JOIN ag USING (fp)
+LEFT JOIN lm USING (fp)
+LEFT JOIN sm USING (fp)
+WHERE s.rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2754,6 +2822,7 @@ QUERIES: dict[str, QueryFn] = {
     "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
     "fellegi_sunter_scores": q_fellegi_sunter_scores,
     "blocking_quality": q_blocking_quality,
+    "golden_records": q_golden_records,
 }
 
 ORACLES: dict[str, str] = {
@@ -2831,6 +2900,7 @@ ORACLES: dict[str, str] = {
     "sorted_neighborhood_pairs": SQL_SORTED_NEIGHBORHOOD_PAIRS,
     "fellegi_sunter_scores": SQL_FELLEGI_SUNTER_SCORES,
     "blocking_quality": SQL_BLOCKING_QUALITY,
+    "golden_records": SQL_GOLDEN_RECORDS,
     # Rows-only (no ANSI-SQL oracle, Python oracles in pytest instead):
     # minhash_lsh_pairs / simhash_pairs (sketches — test_hashing.py),
     # ann_lsh_topk / ann_ivf_topk / embedding_near_dup_lsh (approximate

@@ -108,6 +108,8 @@ EXPECTATIONS = {
     # literal-weight scoring is a pure projection over the block
     # equi-join — no window, no explode, no cross product
     "fellegi_sunter_scores": ([], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window", "Generate"]),
+    # survivorship: cluster-partitioned windows + equi-join recombine
+    "golden_records": (["Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
 }
 
 
