@@ -228,7 +228,12 @@ def estimate_m_u_em(
         for c in agree_cols:
             num = num * F.when(F.col(c) > 0.5, F.lit(m[c])).otherwise(F.lit(1.0 - m[c]))
             den = den * F.when(F.col(c) > 0.5, F.lit(u[c])).otherwise(F.lit(1.0 - u[c]))
-        r = (num / (num + den)).alias("_r")
+        # double underflow guard: with many features the two literal
+        # products can BOTH underflow to 0.0 (num+den == 0 → 0/0 → NaN
+        # poisons every sum); an uninformative 0.5 keeps EM moving
+        r = (
+            F.when(num + den == 0.0, F.lit(0.5)).otherwise(num / (num + den))
+        ).alias("_r")
         agged = g.select(r, *agree_cols).agg(
             F.sum("_r").alias("_sr"),
             *[F.sum(F.col(c) * F.col("_r")).alias(f"_m_{c}") for c in agree_cols],
