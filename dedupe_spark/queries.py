@@ -2764,6 +2764,14 @@ QUERIES: dict[str, QueryFn] = {
     "image_near_dups": q_image_near_dups,
     "audio_near_dups": q_audio_near_dups,
     "er_pipeline_clusters": q_er_pipeline_clusters,
+    # --- r5 late additions (never driver-recorded — placed inside the
+    # 50-query window for their first CORRECTNESS row; the five stable
+    # queries displaced past the cap each carry 4 green rounds) ---
+    "meta_blocking_pairs": q_meta_blocking_pairs,
+    "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
+    "fellegi_sunter_scores": q_fellegi_sunter_scores,
+    "blocking_quality": q_blocking_quality,
+    "golden_records": q_golden_records,
     # --- long-stable entries (green in r1-r4 driver records) ---
     "block_discovery": q_block_discovery,
     "block_priority": q_block_priority,
@@ -2815,14 +2823,6 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_length_profile": q_corpus_length_profile,
     "token_shard_packing": q_token_shard_packing,
     "lexical_diversity": q_lexical_diversity,
-    # --- r5 additions (past the driver's 50-query sweep cap by design:
-    # every slot ahead holds a query with fewer driver-record rounds;
-    # scripts/check_oracles.py verifies these each round) ---
-    "meta_blocking_pairs": q_meta_blocking_pairs,
-    "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
-    "fellegi_sunter_scores": q_fellegi_sunter_scores,
-    "blocking_quality": q_blocking_quality,
-    "golden_records": q_golden_records,
 }
 
 ORACLES: dict[str, str] = {
