@@ -145,6 +145,44 @@ def match_prob_sql(features: list[FSFeature], agree_sql: dict[str, str], prior: 
     return f"({odds} / ({odds} + CAST(1.0 AS DOUBLE)))"
 
 
+def fs_decisions(
+    scored: DataFrame,
+    lower: float,
+    upper: float,
+    prob_col: str = "match_prob",
+    decision_col: str = "decision",
+) -> DataFrame:
+    """The Fellegi–Sunter THREE-way decision rule (JASA 1969 §3 — the
+    defining result of the theory): posteriors above ``upper`` are
+    links, below ``lower`` non-links, and the band between goes to
+    clerical review; the two thresholds are chosen to bound the two
+    error rates, with the review band absorbing the ambiguity. Pure
+    literal projection — rides whatever plan produced the scores."""
+    if not 0.0 <= lower <= upper <= 1.0:
+        raise ValueError(
+            f"fs_decisions: need 0 <= lower <= upper <= 1, got ({lower}, {upper})"
+        )
+    return scored.withColumn(
+        decision_col,
+        F.when(F.col(prob_col) >= upper, F.lit("link"))
+        .when(F.col(prob_col) < lower, F.lit("nonlink"))
+        .otherwise(F.lit("review")),
+    )
+
+
+def decision_sql(lower: float, upper: float, prob_expr: str) -> str:
+    """ANSI twin of ``fs_decisions``' CASE (same literals, same order)."""
+    if not 0.0 <= lower <= upper <= 1.0:
+        raise ValueError(
+            f"decision_sql: need 0 <= lower <= upper <= 1, got ({lower}, {upper})"
+        )
+    return (
+        f"(CASE WHEN {prob_expr} >= {_lit(upper)} THEN 'link' "
+        f"WHEN {prob_expr} < {_lit(lower)} THEN 'nonlink' "
+        f"ELSE 'review' END)"
+    )
+
+
 def random_pairs(
     df: DataFrame, id_col: str, seed: int = 0, n_buckets: int = 1024
 ) -> DataFrame:

@@ -2518,12 +2518,9 @@ def _fs_query_features():
     ], 0.01
 
 
-def q_fellegi_sunter_scores(spark: SparkSession, sf: str) -> DataFrame:
-    """Fellegi–Sunter (JASA 1969) probabilistic linkage: md5-prefix
-    blocked pairs, four cheap agreement comparisons (lang, source,
-    length bucket, exact content), log2(m/u) match weights + posterior
-    match probability — the whole scoring pass is one codegen'd JVM
-    projection of literal weights (operators/fs.py)."""
+def _fs_scored_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared body of the fellegi_sunter_* queries: md5-prefix blocked
+    pairs + four agreement flags + literal-weight scores."""
     from dedupe_spark.operators.fs import fs_score
 
     features, prior = _fs_query_features()
@@ -2547,7 +2544,16 @@ def q_fellegi_sunter_scores(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("a._md5") == F.col("b._md5")).alias("agree_content"),
         )
     )
-    return fs_score(pairs, features, prior).select(
+    return fs_score(pairs, features, prior)
+
+
+def q_fellegi_sunter_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Fellegi–Sunter (JASA 1969) probabilistic linkage: md5-prefix
+    blocked pairs, four cheap agreement comparisons (lang, source,
+    length bucket, exact content), log2(m/u) match weights + posterior
+    match probability — the whole scoring pass is one codegen'd JVM
+    projection of literal weights (operators/fs.py)."""
+    return _fs_scored_pairs(spark, sf).select(
         "id1",
         "id2",
         F.round("match_weight", 6).alias("match_weight"),
@@ -2555,7 +2561,13 @@ def q_fellegi_sunter_scores(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _sql_fellegi_sunter() -> str:
+_FS_DECISION_BANDS = (0.1, 0.85)  # (lower, upper) — shared by query + SQL
+
+
+def _sql_fs_scored() -> str:
+    """Shared CTE body of the fellegi_sunter_* oracles: UNROUNDED
+    scores + agreement flags (weights are literal sums, bit-identical
+    to Spark; rounding happens at each query's outer SELECT)."""
     from dedupe_spark.operators.fs import match_prob_sql, match_weight_sql
 
     features, prior = _fs_query_features()
@@ -2567,17 +2579,84 @@ def _sql_fellegi_sunter() -> str:
     }
     w = match_weight_sql(features, agree_sql)
     p = match_prob_sql(features, agree_sql, prior)
+    flags = ",\n       ".join(f"{expr} AS agree_{name}" for name, expr in agree_sql.items())
     return f"""
 SELECT a.doc_id AS id1, b.doc_id AS id2,
-       round({w}, 6) AS match_weight,
-       round({p}, 6) AS match_prob
+       {flags},
+       {w} AS match_weight,
+       {p} AS match_prob
 FROM documents a JOIN documents b
   ON substr(md5(a.text), 1, 1) = substr(md5(b.text), 1, 1)
  AND a.doc_id < b.doc_id
 """
 
 
-SQL_FELLEGI_SUNTER_SCORES = _sql_fellegi_sunter()
+SQL_FELLEGI_SUNTER_SCORES = f"""
+WITH scored AS ({_sql_fs_scored()})
+SELECT id1, id2, round(match_weight, 6) AS match_weight,
+       round(match_prob, 6) AS match_prob
+FROM scored
+"""
+
+
+def q_fellegi_sunter_decisions(spark: SparkSession, sf: str) -> DataFrame:
+    """The Fellegi–Sunter THREE-way decision rule (JASA 1969 §3):
+    posterior >= upper → link, < lower → non-link, between → clerical
+    review; reported as per-decision counts with the weight band each
+    decision spans."""
+    from dedupe_spark.operators.fs import fs_decisions
+
+    lower, upper = _FS_DECISION_BANDS
+    d = fs_decisions(_fs_scored_pairs(spark, sf), lower, upper)
+    return d.groupBy("decision").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.min("match_weight"), 6).alias("min_weight"),
+        F.round(F.max("match_weight"), 6).alias("max_weight"),
+    )
+
+
+def _sql_fs_decisions() -> str:
+    from dedupe_spark.operators.fs import decision_sql
+
+    lower, upper = _FS_DECISION_BANDS
+    return f"""
+WITH scored AS ({_sql_fs_scored()})
+SELECT {decision_sql(lower, upper, "match_prob")} AS decision,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(min(match_weight), 6) AS min_weight,
+       round(max(match_weight), 6) AS max_weight
+FROM scored GROUP BY decision
+"""
+
+
+SQL_FELLEGI_SUNTER_DECISIONS = _sql_fs_decisions()
+
+
+def q_fs_pattern_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Agreement-pattern profile (the Splink 'comparison viewer'
+    observability surface): one row per distinct agreement vector with
+    its pair count and the (pattern-constant) weight and posterior —
+    min() is exact because every pair in a pattern shares the same
+    literal-sum score."""
+    scored = _fs_scored_pairs(spark, sf)
+    return scored.groupBy(
+        "agree_lang", "agree_source", "agree_lenb", "agree_content"
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.min("match_weight"), 6).alias("match_weight"),
+        F.round(F.min("match_prob"), 6).alias("match_prob"),
+    )
+
+
+SQL_FS_PATTERN_PROFILE = f"""
+WITH scored AS ({_sql_fs_scored()})
+SELECT agree_lang, agree_source, agree_lenb, agree_content,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(min(match_weight), 6) AS match_weight,
+       round(min(match_prob), 6) AS match_prob
+FROM scored
+GROUP BY agree_lang, agree_source, agree_lenb, agree_content
+"""
 
 
 def q_blocking_quality(spark: SparkSession, sf: str) -> DataFrame:
@@ -2772,6 +2851,8 @@ QUERIES: dict[str, QueryFn] = {
     "fellegi_sunter_scores": q_fellegi_sunter_scores,
     "blocking_quality": q_blocking_quality,
     "golden_records": q_golden_records,
+    "fellegi_sunter_decisions": q_fellegi_sunter_decisions,
+    "fs_pattern_profile": q_fs_pattern_profile,
     # --- long-stable entries (green in r1-r4 driver records) ---
     "block_discovery": q_block_discovery,
     "block_priority": q_block_priority,
@@ -2901,6 +2982,8 @@ ORACLES: dict[str, str] = {
     "fellegi_sunter_scores": SQL_FELLEGI_SUNTER_SCORES,
     "blocking_quality": SQL_BLOCKING_QUALITY,
     "golden_records": SQL_GOLDEN_RECORDS,
+    "fellegi_sunter_decisions": SQL_FELLEGI_SUNTER_DECISIONS,
+    "fs_pattern_profile": SQL_FS_PATTERN_PROFILE,
     # Rows-only (no ANSI-SQL oracle, Python oracles in pytest instead):
     # minhash_lsh_pairs / simhash_pairs (sketches — test_hashing.py),
     # ann_lsh_topk / ann_ivf_topk / embedding_near_dup_lsh (approximate

@@ -110,6 +110,10 @@ EXPECTATIONS = {
     "fellegi_sunter_scores": ([], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window", "Generate"]),
     # survivorship: cluster-partitioned windows + equi-join recombine
     "golden_records": (["Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # FS decision bands / pattern profile: block equi-join + one
+    # map-side-combined groupBy over literal projections
+    "fellegi_sunter_decisions": (["HashAggregate"], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window", "Generate"]),
+    "fs_pattern_profile": (["HashAggregate"], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window", "Generate"]),
 }
 
 

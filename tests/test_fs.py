@@ -156,3 +156,25 @@ def test_em_validation(spark):
     empty = df.where(F.lit(False))
     with pytest.raises(ValueError):
         estimate_m_u_em(empty, ["agree_a"])
+
+
+def test_fs_decisions_three_way(spark):
+    from dedupe_spark.operators.fs import fs_decisions
+
+    df = spark.createDataFrame(
+        [(1, 0.95), (2, 0.5), (3, 0.05), (4, 0.85), (5, 0.1)],
+        "id long, match_prob double",
+    )
+    got = {r["id"]: r["decision"] for r in fs_decisions(df, 0.1, 0.85).collect()}
+    # boundary semantics: >= upper links, < lower non-links
+    assert got == {1: "link", 2: "review", 3: "nonlink", 4: "link", 5: "review"}
+
+
+def test_fs_decisions_validation(spark):
+    from dedupe_spark.operators.fs import decision_sql, fs_decisions
+
+    df = spark.createDataFrame([(1, 0.5)], "id long, match_prob double")
+    with pytest.raises(ValueError):
+        fs_decisions(df, 0.9, 0.1)
+    with pytest.raises(ValueError):
+        decision_sql(0.9, 0.1, "p")
